@@ -1,0 +1,38 @@
+"""User-facing numerical ops (SURVEY.md layer T2).
+
+Every op has a pure-jnp path that runs on CPU/TPU and is jit/vmap-able;
+Pallas fast paths live in ``llzlab_tpu.kernels`` and are dispatched from
+here where profitable.
+"""
+
+from llzlab_tpu.ops.transform import (  # noqa: F401
+    fft,
+    ifft,
+    rfft,
+    irfft,
+    fft_matmul,
+    rfft_matmul,
+    irfft_matmul,
+)
+from llzlab_tpu.ops.spectral import stft, istft, frame, overlap_add  # noqa: F401
+from llzlab_tpu.ops.fir import (  # noqa: F401
+    firwin,
+    fir_filter,
+    fir_halo,
+    default_nfft,
+    ols_hop,
+    fir_state_len,
+)
+from llzlab_tpu.ops.iir import (  # noqa: F401
+    butter_sos,
+    cheby1_sos,
+    peaking_eq_sos,
+    rbj_biquad,
+    sosfilt,
+)
+from llzlab_tpu.ops.resample import (  # noqa: F401
+    resample_poly,
+    resample_taps,
+    resample_output_len,
+)
+from llzlab_tpu.ops.window import get_window  # noqa: F401

@@ -1,0 +1,531 @@
+"""IIR filter design and parallel-scan filtering.
+
+Capability parity target: the reference's ``llz_iir.c/h`` (analog prototype →
+bilinear transform → cascaded biquads, per-sample direct-form recurrence;
+mount empty — spec anchors BASELINE.json:5 "IIR biquad cascades re-expressed
+as parallel-scan" and BASELINE.json:9 "8-section EQ cascade, bit-matched
+state carry").
+
+Design is host-side float64 numpy (zpk pipeline, scipy-compatible
+semantics).  Filtering re-expresses the transposed direct-form II biquad
+
+    y[n]  = b0·x[n] + z1[n-1]
+    z1[n] = b1·x[n] - a1·y[n] + z2[n-1]
+    z2[n] = b2·x[n] - a2·y[n]
+
+as the linear state recurrence  s[n] = A·s[n-1] + B·x[n]  with
+
+    A = [[-a1, 1], [-a2, 0]],   B = [b1 - a1·b0, b2 - a2·b0],
+
+and evaluates it with ``jax.lax.associative_scan`` over (A, u) pairs inside
+fixed-size blocks, carrying the exact end-state between blocks with
+``lax.scan``.  Blockwise structure makes streaming bit-exact: splitting a
+signal at any multiple of ``block_size`` and carrying ``zf`` reproduces the
+unsplit output bit-for-bit (identical scan trees, identical arithmetic).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+__all__ = [
+    "butter_sos",
+    "cheby1_sos",
+    "peaking_eq_sos",
+    "shelf_sos",
+    "rbj_biquad",
+    "sosfilt",
+    "sos_state_matrices",
+]
+
+
+# ---------------------------------------------------------------------------
+# Design (host-side, float64, zpk pipeline)
+# ---------------------------------------------------------------------------
+
+
+def _buttap(n: int):
+    k = np.arange(1, n + 1)
+    theta = np.pi * (2 * k - 1) / (2 * n)
+    p = -np.sin(theta) + 1j * np.cos(theta)  # left-half-plane unit circle
+    return np.array([]), p, 1.0
+
+
+def _cheb1ap(n: int, rp: float):
+    eps = np.sqrt(10.0 ** (rp / 10.0) - 1.0)
+    mu = np.arcsinh(1.0 / eps) / n
+    k = np.arange(1, n + 1)
+    theta = np.pi * (2 * k - 1) / (2 * n)
+    p = -np.sinh(mu) * np.sin(theta) + 1j * np.cosh(mu) * np.cos(theta)
+    gain = np.real(np.prod(-p))
+    if n % 2 == 0:
+        gain /= np.sqrt(1.0 + eps * eps)
+    return np.array([]), p, gain
+
+
+def _lp2lp(z, p, k, wo):
+    degree = len(p) - len(z)
+    return z * wo, p * wo, k * wo**degree
+
+
+def _lp2hp(z, p, k, wo):
+    degree = len(p) - len(z)
+    zh = wo / z if len(z) else np.array([])
+    ph = wo / p
+    kh = k * np.real(np.prod(-z) / np.prod(-p)) if len(z) else k * np.real(
+        1.0 / np.prod(-p)
+    )
+    zh = np.append(zh, np.zeros(degree))
+    return zh, ph, kh
+
+
+def _lp2bp(z, p, k, wo, bw):
+    degree = len(p) - len(z)
+    z_s, p_s = z * bw / 2.0, p * bw / 2.0
+    z_b = np.concatenate(
+        [z_s + np.sqrt(z_s**2 - wo**2), z_s - np.sqrt(z_s**2 - wo**2)]
+    ) if len(z) else np.array([])
+    p_b = np.concatenate(
+        [p_s + np.sqrt(p_s**2 - wo**2), p_s - np.sqrt(p_s**2 - wo**2)]
+    )
+    z_b = np.append(z_b, np.zeros(degree))
+    return z_b, p_b, k * bw**degree
+
+
+def _lp2bs(z, p, k, wo, bw):
+    degree = len(p) - len(z)
+    z_i = (bw / 2.0) / z if len(z) else np.array([])
+    p_i = (bw / 2.0) / p
+    z_b = np.concatenate(
+        [z_i + np.sqrt(z_i**2 - wo**2), z_i - np.sqrt(z_i**2 - wo**2)]
+    ) if len(z) else np.array([])
+    p_b = np.concatenate(
+        [p_i + np.sqrt(p_i**2 - wo**2), p_i - np.sqrt(p_i**2 - wo**2)]
+    )
+    z_b = np.concatenate([z_b, np.full(degree, 1j * wo), np.full(degree, -1j * wo)])
+    kb = k * np.real(np.prod(-z) / np.prod(-p)) if len(z) else k * np.real(
+        1.0 / np.prod(-p)
+    )
+    return z_b, p_b, kb
+
+
+def _bilinear_zpk(z, p, k, fs: float):
+    fs2 = 2.0 * fs
+    zd = (fs2 + z) / (fs2 - z) if len(z) else np.array([])
+    pd = (fs2 + p) / (fs2 - p)
+    degree = len(p) - len(z)
+    zd = np.append(zd, -np.ones(degree))
+    num = np.prod(fs2 - z) if len(z) else 1.0
+    kd = k * np.real(num / np.prod(fs2 - p))
+    return zd, pd, kd
+
+
+def _split_conjugates(roots: np.ndarray):
+    """Split roots into (conjugate-pair representatives, real roots)."""
+    tol = 1e-9 * max(1.0, np.max(np.abs(roots)) if len(roots) else 1.0)
+    complex_r = [r for r in roots if abs(r.imag) > tol]
+    real_r = [r.real for r in roots if abs(r.imag) <= tol]
+    pos = sorted(
+        (r for r in complex_r if r.imag > 0), key=lambda r: (-abs(r), r.real)
+    )
+    return pos, sorted(real_r, key=lambda r: -abs(r))
+
+
+def _zpk2sos(z, p, k) -> np.ndarray:
+    """Pair poles and zeros into second-order sections.
+
+    Strategy: conjugate pole pairs (sorted nearest the unit circle first)
+    each take the nearest remaining conjugate zero pair; real poles pair up
+    amongst themselves with real zeros.  The overall gain is applied to the
+    first section.  (The reference cascades RBJ-style sections directly; the
+    sections here are numerically well-scaled for f32 state recurrences.)
+    """
+    z, p = np.asarray(z, dtype=complex), np.asarray(p, dtype=complex)
+    if len(z) > len(p):
+        raise ValueError("more zeros than poles")
+    p_pairs, p_real = _split_conjugates(p)
+    z_pairs, z_real = _split_conjugates(z)
+
+    sections = []
+    z_pairs = list(z_pairs)
+    z_real = list(z_real)
+    # Conjugate pole pairs, closest to unit circle first.
+    for pp in sorted(p_pairs, key=lambda r: -abs(r)):
+        if z_pairs:
+            j = int(np.argmin([abs(zz - pp) for zz in z_pairs]))
+            zz = z_pairs.pop(j)
+            num = np.poly([zz, np.conj(zz)]).real
+        elif len(z_real) >= 2:
+            j = int(np.argmin([abs(zr - pp.real) for zr in z_real]))
+            zr1 = z_real.pop(j)
+            j = int(np.argmin([abs(zr - pp.real) for zr in z_real]))
+            zr2 = z_real.pop(j)
+            num = np.poly([zr1, zr2]).real
+        elif z_real:
+            num = np.append(np.poly([z_real.pop(0)]).real, 0.0)
+            num = np.array([0.0, num[0], num[1]])
+        else:
+            num = np.array([0.0, 0.0, 1.0])[::-1]  # [1, 0, 0]
+        den = np.poly([pp, np.conj(pp)]).real
+        sections.append(np.concatenate([num, den]))
+    # Real poles: pair them up two at a time.
+    p_real = list(p_real)
+    while p_real:
+        pr1 = p_real.pop(0)
+        pr2 = p_real.pop(0) if p_real else None
+        den = np.poly([pr1, pr2]).real if pr2 is not None else np.append(
+            np.poly([pr1]).real, 0.0
+        )
+        nzs = []
+        for _ in range(2 if pr2 is not None else 1):
+            if z_real:
+                nzs.append(z_real.pop(0))
+        if z_pairs and len(nzs) == 0 and pr2 is not None:
+            zz = z_pairs.pop(0)
+            nzs = [zz, np.conj(zz)]
+        num = np.poly(nzs).real if nzs else np.array([1.0])
+        num = np.pad(num, (0, 3 - len(num)))
+        den = np.pad(den, (0, 3 - len(den)))
+        sections.append(np.concatenate([num, den]))
+    if not sections:
+        sections.append(np.array([1.0, 0, 0, 1.0, 0, 0]))
+    sos = np.array(sections, dtype=np.float64)
+    sos[0, :3] *= k
+    return sos
+
+
+def butter_sos(order: int, wn, btype: str = "lowpass", fs: float = 2.0) -> np.ndarray:
+    """Butterworth digital filter as second-order sections ``(ns, 6)``.
+
+    ``wn`` in the units of ``fs`` (default Nyquist units, like scipy).
+    """
+    return _iirfilter_sos(_buttap(order), order, wn, btype, fs)
+
+
+def cheby1_sos(
+    order: int, rp: float, wn, btype: str = "lowpass", fs: float = 2.0
+) -> np.ndarray:
+    """Chebyshev type-I digital filter (passband ripple ``rp`` dB) as SOS."""
+    return _iirfilter_sos(_cheb1ap(order, rp), order, wn, btype, fs)
+
+
+def _iirfilter_sos(prototype, order, wn, btype, fs):
+    z, p, k = prototype
+    wn = np.atleast_1d(np.asarray(wn, dtype=np.float64)) * 2.0 / fs
+    if np.any(wn <= 0) or np.any(wn >= 1):
+        raise ValueError("critical frequencies must lie inside (0, fs/2)")
+    fs_d = 2.0
+    warped = 2.0 * fs_d * np.tan(np.pi * wn / fs_d)
+    btype = btype.lower()
+    if btype in ("lowpass", "low", "lp"):
+        z, p, k = _lp2lp(z, p, k, warped[0])
+    elif btype in ("highpass", "high", "hp"):
+        z, p, k = _lp2hp(z, p, k, warped[0])
+    elif btype in ("bandpass", "bp"):
+        bw = warped[1] - warped[0]
+        wo = np.sqrt(warped[0] * warped[1])
+        z, p, k = _lp2bp(z, p, k, wo, bw)
+    elif btype in ("bandstop", "bs", "notch"):
+        bw = warped[1] - warped[0]
+        wo = np.sqrt(warped[0] * warped[1])
+        z, p, k = _lp2bs(z, p, k, wo, bw)
+    else:
+        raise ValueError(f"unknown btype {btype!r}")
+    z, p, k = _bilinear_zpk(z, p, k, fs_d)
+    return _zpk2sos(z, p, k)
+
+
+# --- RBJ Audio-EQ-Cookbook biquads (the reference's EQ-section analog) -----
+
+
+def rbj_biquad(
+    kind: str, f0: float, fs: float, *, q: float = 0.7071067811865476,
+    gain_db: float = 0.0
+) -> np.ndarray:
+    """One RBJ cookbook biquad as a normalised ``(6,)`` SOS row."""
+    A = 10.0 ** (gain_db / 40.0)
+    w0 = 2.0 * np.pi * f0 / fs
+    cw, sw = np.cos(w0), np.sin(w0)
+    alpha = sw / (2.0 * q)
+    kind = kind.lower()
+    if kind == "peaking":
+        b = [1 + alpha * A, -2 * cw, 1 - alpha * A]
+        a = [1 + alpha / A, -2 * cw, 1 - alpha / A]
+    elif kind == "lowpass":
+        b = [(1 - cw) / 2, 1 - cw, (1 - cw) / 2]
+        a = [1 + alpha, -2 * cw, 1 - alpha]
+    elif kind == "highpass":
+        b = [(1 + cw) / 2, -(1 + cw), (1 + cw) / 2]
+        a = [1 + alpha, -2 * cw, 1 - alpha]
+    elif kind == "notch":
+        b = [1.0, -2 * cw, 1.0]
+        a = [1 + alpha, -2 * cw, 1 - alpha]
+    elif kind == "lowshelf":
+        sq = 2.0 * np.sqrt(A) * alpha
+        b = [
+            A * ((A + 1) - (A - 1) * cw + sq),
+            2 * A * ((A - 1) - (A + 1) * cw),
+            A * ((A + 1) - (A - 1) * cw - sq),
+        ]
+        a = [(A + 1) + (A - 1) * cw + sq, -2 * ((A - 1) + (A + 1) * cw),
+             (A + 1) + (A - 1) * cw - sq]
+    elif kind == "highshelf":
+        sq = 2.0 * np.sqrt(A) * alpha
+        b = [
+            A * ((A + 1) + (A - 1) * cw + sq),
+            -2 * A * ((A - 1) + (A + 1) * cw),
+            A * ((A + 1) + (A - 1) * cw - sq),
+        ]
+        a = [(A + 1) - (A - 1) * cw + sq, 2 * ((A - 1) - (A + 1) * cw),
+             (A + 1) - (A - 1) * cw - sq]
+    else:
+        raise ValueError(f"unknown RBJ biquad kind {kind!r}")
+    b, a = np.asarray(b, np.float64), np.asarray(a, np.float64)
+    return np.concatenate([b / a[0], a / a[0]])
+
+
+def peaking_eq_sos(freqs, gains_db, fs: float, q: float = 1.0) -> np.ndarray:
+    """N-section peaking-EQ cascade (the BASELINE.json:9 workload shape)."""
+    rows = [
+        rbj_biquad("peaking", f, fs, q=q, gain_db=g)
+        for f, g in zip(freqs, gains_db)
+    ]
+    return np.stack(rows)
+
+
+def shelf_sos(kind: str, f0: float, fs: float, gain_db: float) -> np.ndarray:
+    return rbj_biquad(kind, f0, fs, gain_db=gain_db)[None, :]
+
+
+# ---------------------------------------------------------------------------
+# Filtering (device-side parallel scan)
+# ---------------------------------------------------------------------------
+
+
+def sos_state_matrices(sos: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-section companion transition ``A (ns,2,2)`` and input ``B (ns,2)``
+    for the TDF2 realization (used by the real-pole scan path)."""
+    sos = jnp.asarray(sos, dtype=jnp.float32)
+    b0, b1, b2 = sos[:, 0], sos[:, 1], sos[:, 2]
+    a1, a2 = sos[:, 4], sos[:, 5]
+    A = jnp.stack(
+        [
+            jnp.stack([-a1, jnp.ones_like(a1)], axis=-1),
+            jnp.stack([-a2, jnp.zeros_like(a2)], axis=-1),
+        ],
+        axis=-2,
+    )  # (ns, 2, 2)
+    B = jnp.stack([b1 - a1 * b0, b2 - a2 * b0], axis=-1)  # (ns, 2)
+    return A, B
+
+
+def section_realization(row: np.ndarray):
+    """Choose the numerically best scan realization for one SOS row.
+
+    Complex-conjugate poles → coupled (Gold–Rader) form: the state update
+    is one complex first-order recurrence ``w[n] = p·w[n-1] + x[n]`` with
+    ``p = α+jβ`` the pole, ``y[n] = b0·x[n] + c1·Re(w[n-1]) + c2·Im(w[n-1])``.
+    Its transition is a scaled rotation, so scan partial products have norm
+    exactly ``|p|^k`` — no transient overshoot, unlike the companion/TDF2
+    matrix whose powers can grow ~1/sinθ before decaying and amplify f32
+    rounding in a parallel scan (SURVEY.md §7 hard part 1).
+
+    Real poles → companion (TDF2) matrix form (no oscillatory transient).
+
+    Returns ("coupled", (alpha, beta, c1, c2, b0)) or ("companion", row).
+    """
+    b0, b1, b2, _, a1, a2 = (float(v) for v in row)
+    disc = a1 * a1 - 4.0 * a2
+    if disc < 0.0:
+        alpha = -a1 / 2.0
+        beta = np.sqrt(-disc) / 2.0
+        c1 = b1 - b0 * a1
+        c2 = (b2 - b0 * a2 + c1 * alpha) / beta
+        return "coupled", (alpha, beta, c1, c2, b0)
+    return "companion", row
+
+
+def _combine_companion(left, right):
+    a_l, u_l = left
+    a_r, u_r = right
+    # (A_r·A_l, A_r·u_l + u_r); matrices act on the right operand's past.
+    a = jnp.einsum("...ij,...jk->...ik", a_r, a_l)
+    u = jnp.einsum("...ij,...j->...i", a_r, u_l) + u_r
+    return a, u
+
+
+def _combine_coupled(left, right):
+    pr_l, pi_l, ur_l, ui_l = left
+    pr_r, pi_r, ur_r, ui_r = right
+    pr = pr_r * pr_l - pi_r * pi_l
+    pi = pr_r * pi_l + pi_r * pr_l
+    ur = pr_r * ur_l - pi_r * ui_l + ur_r
+    ui = pr_r * ui_l + pi_r * ur_l + ui_r
+    return pr, pi, ur, ui
+
+
+def _companion_block(A, u_blk, s0):
+    """Companion-form block scan: u_blk (L, B, 2), s0 (B, 2).
+
+    ``optimization_barrier`` fences isolate the block arithmetic from
+    surrounding fusion so the same (L, B) block compiles to the same bit
+    pattern whether it appears alone or inside a longer stream — required
+    for the bit-matched split invariance of BASELINE.json:9.
+    """
+    L = u_blk.shape[0]
+    u_blk, s0 = lax.optimization_barrier((u_blk, s0))
+    u_blk = u_blk.at[0].add(jnp.einsum("ij,bj->bi", A, s0))
+    A_elems = jnp.broadcast_to(A, (L,) + u_blk.shape[1:-1] + (2, 2))
+    _, states = lax.associative_scan(
+        _combine_companion, (A_elems, u_blk), axis=0
+    )
+    return lax.optimization_barrier(states)
+
+
+def _coupled_block(alpha, beta, u_blk, s0):
+    """Coupled-form block scan: u_blk (L, B) real input, s0 (B, 2)=(wr, wi).
+
+    Returns states (L, B, 2) of the complex recurrence w = p·w⁻ + x.
+    Barrier-fenced for context-independent bits (see _companion_block).
+    """
+    L, nb = u_blk.shape
+    u_blk, s0 = lax.optimization_barrier((u_blk, s0))
+    ur = u_blk.at[0].add(alpha * s0[:, 0] - beta * s0[:, 1])
+    ui = jnp.zeros_like(u_blk).at[0].set(alpha * s0[:, 1] + beta * s0[:, 0])
+    pr = jnp.full((L, nb), alpha, dtype=u_blk.dtype)
+    pi = jnp.full((L, nb), beta, dtype=u_blk.dtype)
+    _, _, wr, wi = lax.associative_scan(
+        _combine_coupled, (pr, pi, ur, ui), axis=0
+    )
+    return lax.optimization_barrier(jnp.stack([wr, wi], axis=-1))
+
+
+def _sosfilt_factory(kinds: Tuple[str, ...], block_size: int, return_zf: bool):
+    """Build a jitted sosfilt for a static per-section realization plan."""
+
+    @jax.jit
+    def run(x, params, zi_b):
+        shape = x.shape
+        t = shape[-1]
+        xb = x.reshape(-1, t).astype(jnp.float32)
+        nb = xb.shape[0]
+        L = block_size
+        pad = (-t) % L
+        # Always ≥2 blocks: XLA deletes trip-count-1 while loops and inlines
+        # the body into a different fusion context, which changes FMA
+        # formation and breaks bit-identical split invariance (BASELINE:9).
+        if t + pad < 2 * L:
+            pad = 2 * L - t
+        cur = jnp.pad(xb, ((0, 0), (0, pad)))
+        tp = t + pad
+        nblocks = tp // L
+
+        zf_out = []
+        for s, kind in enumerate(kinds):
+            p = params[s]
+            s0_init = zi_b[:, s, :]
+            if kind == "coupled":
+                alpha, beta, c1, c2, b0 = (p[i] for i in range(5))
+                u_blocks = cur.reshape(nb, nblocks, L).transpose(1, 2, 0)
+
+                def step(s0, u_blk, alpha=alpha, beta=beta):
+                    states = _coupled_block(alpha, beta, u_blk, s0)
+                    return states[-1], states
+
+                _, states = lax.scan(step, s0_init, u_blocks)  # (nbl,L,B,2)
+                states = states.transpose(2, 0, 1, 3).reshape(nb, tp, 2)
+                w_prev = jnp.concatenate(
+                    [s0_init[:, None, :], states[:, :-1, :]], axis=1
+                )
+                if return_zf:
+                    zf_out.append(states[:, t - 1, :])
+                cur = b0 * cur + c1 * w_prev[..., 0] + c2 * w_prev[..., 1]
+            else:
+                A, B, b0 = p[0], p[1], p[2]
+                u = cur[..., None] * B  # (B, Tp, 2)
+                u_blocks = u.reshape(nb, nblocks, L, 2).transpose(1, 2, 0, 3)
+
+                def step(s0, u_blk, A=A):
+                    states = _companion_block(A, u_blk, s0)
+                    return states[-1], states
+
+                _, states = lax.scan(step, s0_init, u_blocks)
+                states = states.transpose(2, 0, 1, 3).reshape(nb, tp, 2)
+                s_prev = jnp.concatenate(
+                    [s0_init[:, None, :], states[:, :-1, :]], axis=1
+                )
+                if return_zf:
+                    zf_out.append(states[:, t - 1, :])
+                cur = b0 * cur + s_prev[..., 0]
+        y = cur[:, :t].reshape(shape).astype(x.dtype)
+        if not return_zf:
+            return y
+        zf = jnp.stack(zf_out, axis=1).reshape(shape[:-1] + (len(kinds), 2))
+        return y, zf
+
+    return run
+
+
+@functools.lru_cache(maxsize=256)
+def _sosfilt_cached(kinds, block_size, return_zf):
+    return _sosfilt_factory(kinds, block_size, return_zf)
+
+
+def sosfilt(
+    sos,
+    x: jnp.ndarray,
+    *,
+    zi: Optional[jnp.ndarray] = None,
+    block_size: int = 4096,
+    return_zf: bool = False,
+):
+    """Cascaded biquad filtering along the last axis via parallel scan.
+
+    Args:
+      sos: ``(ns, 6)`` second-order sections ``[b0 b1 b2 1 a1 a2]``
+        (``a0`` must be 1 — normalise at design time).  Must be a concrete
+        (host) array: the per-section scan realization (coupled vs
+        companion, see :func:`section_realization`) is chosen at trace
+        time from the pole discriminant.
+      x: ``(..., T)`` signal.
+      zi: optional ``(..., ns, 2)`` initial states in the section's scan
+        realization — opaque; pass zeros or a ``zf`` from a previous call.
+      block_size: parallel-scan block length ``L``.  The signal is always
+        processed in ``L``-sample blocks with the exact end-state carried
+        sequentially, so splitting a stream at any multiple of ``L`` and
+        carrying ``zf`` reproduces the unsplit block structure and state
+        bits (BASELINE.json:9 "bit-matched state carry").
+      return_zf: also return final states for streaming continuation.
+    """
+    sos_np = np.asarray(sos, dtype=np.float64)
+    if sos_np.ndim != 2 or sos_np.shape[1] != 6:
+        raise ValueError(f"sos must be (ns, 6), got {sos_np.shape}")
+    if not np.allclose(sos_np[:, 3], 1.0):
+        raise ValueError("sos rows must be normalised to a0 == 1")
+    kinds = []
+    params = []
+    for row in sos_np:
+        kind, p = section_realization(row)
+        kinds.append(kind)
+        if kind == "coupled":
+            params.append(jnp.asarray(np.asarray(p, np.float32)))
+        else:
+            b0 = np.float32(row[0])
+            a1, a2 = row[4], row[5]
+            A = np.array([[-a1, 1.0], [-a2, 0.0]], np.float32)
+            B = np.array([row[1] - a1 * row[0], row[2] - a2 * row[0]], np.float32)
+            params.append((jnp.asarray(A), jnp.asarray(B), jnp.asarray(b0)))
+    run = _sosfilt_cached(tuple(kinds), int(block_size), bool(return_zf))
+    nb = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+    ns = sos_np.shape[0]
+    if zi is None:
+        zi_b = jnp.zeros((nb, ns, 2), dtype=jnp.float32)
+    else:
+        zi_b = jnp.asarray(zi).reshape(nb, ns, 2).astype(jnp.float32)
+    return run(x, tuple(params), zi_b)

@@ -1,0 +1,142 @@
+"""STFT / iSTFT — framing, windowing, batched FFT, overlap-add synthesis.
+
+Capability parity target: the reference's frame loop (copy hop, window,
+FFT, per-bin processing, IFFT, overlap-add into an output ring; mount
+empty — spec anchor BASELINE.json:10 "STFT→spectral-gain→iSTFT chain,
+2048-pt FFT, 75% overlap").
+
+TPU-first design: no per-frame loop and no scatter.  Because the hop
+divides the frame length (75% overlap → ratio 4), framing is a reshape to
+hop-blocks plus ``ratio`` shifted slices, and overlap-add is the inverse —
+``ratio`` shifted padded adds.  Everything batches over (channels, frames)
+into single fused XLA regions; the FFT is the MXU-factored matmul path on
+TPU (ops/transform.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llzlab_tpu.ops import transform as _fft
+from llzlab_tpu.ops.window import get_window
+
+__all__ = ["stft", "istft", "frame", "overlap_add", "stft_num_frames"]
+
+
+def stft_num_frames(t: int, n_fft: int, hop: int) -> int:
+    if t < n_fft:
+        return 0
+    return 1 + (t - n_fft) // hop
+
+
+def frame(x: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
+    """Frame ``(..., T)`` → ``(..., nf, n_fft)``; requires ``hop | n_fft``.
+
+    Built from ``ratio`` shifted slices of the hop-block reshape, which XLA
+    fuses into strided loads (no gather, no data-dependent shapes).
+    """
+    if n_fft % hop != 0:
+        raise ValueError(f"hop ({hop}) must divide n_fft ({n_fft})")
+    ratio = n_fft // hop
+    t = x.shape[-1]
+    nf = stft_num_frames(t, n_fft, hop)
+    if nf == 0:
+        raise ValueError(f"signal length {t} shorter than one frame ({n_fft})")
+    nbh = nf - 1 + ratio  # hop-blocks needed
+    xb = x[..., : nbh * hop].reshape(x.shape[:-1] + (nbh, hop))
+    parts = [xb[..., k : k + nf, :] for k in range(ratio)]
+    return jnp.concatenate(parts, axis=-1)
+
+
+def overlap_add(frames: jnp.ndarray, hop: int) -> jnp.ndarray:
+    """Overlap-add ``(..., nf, n_fft)`` → ``(..., n_fft + (nf-1)·hop)``.
+
+    Dense formulation: split each frame into ``ratio`` hop-chunks; chunk k
+    of frame i lands on hop-block i+k, so the output is the sum of
+    ``ratio`` block-shifted streams — adds and pads only, no scatter.
+    """
+    n_fft = frames.shape[-1]
+    if n_fft % hop != 0:
+        raise ValueError(f"hop ({hop}) must divide n_fft ({n_fft})")
+    ratio = n_fft // hop
+    nf = frames.shape[-2]
+    lead = frames.shape[:-2]
+    chunks = frames.reshape(lead + (nf, ratio, hop))
+    nbh = nf - 1 + ratio
+    acc = jnp.zeros(lead + (nbh, hop), dtype=frames.dtype)
+    for k in range(ratio):
+        pad = [(0, 0)] * len(lead) + [(k, ratio - 1 - k), (0, 0)]
+        acc = acc + jnp.pad(chunks[..., :, k, :], pad)
+    return acc.reshape(lead + (nbh * hop,))
+
+
+@functools.partial(jax.jit, static_argnames=("n_fft", "hop", "window", "method"))
+def _stft_impl(x, *, n_fft, hop, window, method):
+    w = jnp.asarray(
+        get_window(window, n_fft, periodic=True).astype(np.float32)
+    )
+    frames_ = frame(x.astype(jnp.float32), n_fft, hop) * w
+    return _fft.rfft(frames_, n_fft, method=method)
+
+
+def stft(
+    x: jnp.ndarray,
+    *,
+    n_fft: int = 2048,
+    hop: Optional[int] = None,
+    window="hann",
+    method: str = "auto",
+) -> jnp.ndarray:
+    """STFT along the last axis: ``(..., T)`` → complex ``(..., nf, n_fft//2+1)``.
+
+    Causal framing anchored at sample 0 (no centre padding — streaming
+    blocks at hop multiples concatenate exactly).  Default 2048-pt frames,
+    75% overlap (hop 512), periodic Hann — the BASELINE.json:10 config.
+    """
+    hop = hop or n_fft // 4
+    return _stft_impl(x, n_fft=n_fft, hop=hop, window=window, method=method)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_fft", "hop", "window", "method", "length")
+)
+def _istft_impl(spec, *, n_fft, hop, window, method, length):
+    w = jnp.asarray(
+        get_window(window, n_fft, periodic=True).astype(np.float32)
+    )
+    frames_ = _fft.irfft(spec, n_fft, method=method) * w
+    y = overlap_add(frames_, hop)
+    nf = spec.shape[-2]
+    # Window-square envelope (same OLA); constant = COLA sum in the interior.
+    wsq = jnp.broadcast_to(w * w, (nf, n_fft))
+    env = overlap_add(wsq, hop)
+    y = y / jnp.maximum(env, 1e-8)
+    if length is not None:
+        y = y[..., :length]
+    return y
+
+
+def istft(
+    spec: jnp.ndarray,
+    *,
+    n_fft: int = 2048,
+    hop: Optional[int] = None,
+    window="hann",
+    method: str = "auto",
+    length: Optional[int] = None,
+) -> jnp.ndarray:
+    """Inverse STFT with windowed overlap-add and COLA envelope division.
+
+    ``istft(stft(x))`` reconstructs x exactly (≥140 dB) away from the first
+    and last ``n_fft - hop`` samples, where the analysis window taper is
+    divided out by the envelope.
+    """
+    hop = hop or n_fft // 4
+    return _istft_impl(
+        spec, n_fft=n_fft, hop=hop, window=window, method=method, length=length
+    )

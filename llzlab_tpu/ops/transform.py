@@ -1,0 +1,276 @@
+"""FFT / IFFT / RFFT with an MXU-factored matmul fast path.
+
+Capability parity target: the reference's ``llz_fft.c/h`` (iterative
+radix FFT with precomputed twiddles; mount empty — spec anchor
+BASELINE.json:5 "FFT/STFT transforms").
+
+TPU-first design: a scalar butterfly FFT is the wrong shape for the MXU.
+Instead we use the four-step (Bailey) factorisation N = N1·N2:
+
+    M[a, b]  = x[N2·a + b]                      (reshape)
+    Y        = F_{N1} @ M                       (batched DFT matmul, MXU)
+    Z[c, b]  = Y[c, b] · W_N^{b·c}              (twiddle, VPU)
+    X2       = Z @ F_{N2}                       (batched DFT matmul, MXU)
+    X[N1·d + c] = X2[c, d]                      (transpose)
+
+For N = 2048 that is 64×32; for 4096, 64×64 — both MXU-tile-friendly, and
+the whole transform is 4 real matmuls per stage at f32 (bf16 would sink the
+-80 dB SNR budget, BASELINE.json:5).  Complex values travel as an explicit
+(re, im) pair so XLA emits pure f32 MXU matmuls.  DFT/twiddle tables are
+computed in float64 on host and rounded once (SURVEY.md §7 hard part 2).
+
+``method="xla"`` falls back to ``jnp.fft`` (always available; the default
+on CPU test meshes).  ``method="auto"`` picks matmul on TPU for supported
+sizes.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "fft",
+    "ifft",
+    "rfft",
+    "irfft",
+    "fft_matmul",
+    "rfft_matmul",
+    "irfft_matmul",
+    "split_factors",
+]
+
+
+def _is_pow2(n: int) -> bool:
+    return n > 0 and (n & (n - 1)) == 0
+
+
+def split_factors(n: int) -> Tuple[int, int]:
+    """Balanced power-of-two split N = N1·N2 with N1 ≥ N2 (64·32 for 2048)."""
+    if not _is_pow2(n):
+        raise ValueError(f"matmul FFT requires power-of-two size, got {n}")
+    lg = n.bit_length() - 1
+    n1 = 1 << ((lg + 1) // 2)
+    return n1, n // n1
+
+
+@functools.lru_cache(maxsize=64)
+def _dft_tables(n: int) -> Tuple[np.ndarray, ...]:
+    """Host-side f64→f32 DFT matrices and twiddles for the four-step FFT.
+
+    Returns (F1r, F1i, F2r, F2i, Twr, Twi) with
+    F1[c, a] = W_{N1}^{ca}, F2[b, d] = W_{N2}^{bd}, Tw[c, b] = W_N^{bc}.
+    """
+    n1, n2 = split_factors(n)
+    a = np.arange(n1)
+    F1 = np.exp(-2j * np.pi * np.outer(a, a) / n1)
+    b = np.arange(n2)
+    F2 = np.exp(-2j * np.pi * np.outer(b, b) / n2)
+    c = np.arange(n1)
+    Tw = np.exp(-2j * np.pi * np.outer(c, np.arange(n2)) / n)
+    out = []
+    for m in (F1, F2, Tw):
+        out += [m.real.astype(np.float32), m.imag.astype(np.float32)]
+    return tuple(out)
+
+
+def _cmatmul(ar, ai, br, bi, eq: str):
+    """Complex matmul via 4 real einsums (each lowers to an MXU matmul)."""
+    rr = jnp.einsum(eq, ar, br, preferred_element_type=jnp.float32)
+    ii = jnp.einsum(eq, ai, bi, preferred_element_type=jnp.float32)
+    ri = jnp.einsum(eq, ar, bi, preferred_element_type=jnp.float32)
+    ir = jnp.einsum(eq, ai, br, preferred_element_type=jnp.float32)
+    return rr - ii, ri + ir
+
+
+def _fft_matmul_core(xr: jnp.ndarray, xi: jnp.ndarray, n: int):
+    """Four-step FFT on the last axis of (B, N) real/imag parts."""
+    n1, n2 = split_factors(n)
+    F1r, F1i, F2r, F2i, Twr, Twi = (jnp.asarray(t) for t in _dft_tables(n))
+    mr = xr.reshape(-1, n1, n2)
+    mi = xi.reshape(-1, n1, n2)
+    # Stage 1: Y[c,b] = Σ_a F1[c,a] M[a,b]
+    yr, yi = _cmatmul(F1r, F1i, mr, mi, "ca,zab->zcb")
+    # Twiddle: Z = Y ⊙ W_N^{bc}
+    zr = yr * Twr - yi * Twi
+    zi = yr * Twi + yi * Twr
+    # Stage 2: X2[c,d] = Σ_b Z[c,b] F2[b,d]
+    x2r, x2i = _cmatmul(zr, zi, F2r, F2i, "zcb,bd->zcd")
+    # Output ordering X[N1·d + c] = X2[c,d] → transpose (c,d) → (d,c)
+    outr = x2r.transpose(0, 2, 1).reshape(-1, n)
+    outi = x2i.transpose(0, 2, 1).reshape(-1, n)
+    return outr, outi
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _fft_matmul_jit(xr, xi, n):
+    shape = xr.shape
+    outr, outi = _fft_matmul_core(
+        xr.reshape(-1, n).astype(jnp.float32),
+        xi.reshape(-1, n).astype(jnp.float32),
+        n,
+    )
+    return outr.reshape(shape), outi.reshape(shape)
+
+
+def fft_matmul(x: jnp.ndarray, n: Optional[int] = None) -> jnp.ndarray:
+    """Complex FFT (last axis) via MXU-factored matmuls.  Accepts real or
+    complex input; returns complex64."""
+    if n is None:
+        n = x.shape[-1]
+    if x.shape[-1] != n:
+        x = _pad_or_trim(x, n)
+    xr = jnp.real(x).astype(jnp.float32)
+    xi = (
+        jnp.imag(x).astype(jnp.float32)
+        if jnp.iscomplexobj(x)
+        else jnp.zeros_like(xr)
+    )
+    outr, outi = _fft_matmul_jit(xr, xi, n)
+    return jax.lax.complex(outr, outi)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _rfft_matmul_jit(x, n):
+    """Real FFT of size n via one complex FFT of size n/2 + untangling.
+
+    Pack z[m] = x[2m] + j·x[2m+1]; then with Z = FFT_{n/2}(z) and
+    Zc[k] = conj(Z[(n/2-k) mod n/2]):
+        E = (Z + Zc)/2,  O = -j·(Z − Zc)/2,
+        X[k] = E[k] + W_n^k · O[k],  k = 0..n/2  (X[n/2] from wraparound).
+    """
+    half = n // 2
+    shape = x.shape
+    xb = x.reshape(-1, n).astype(jnp.float32)
+    zr = xb[:, 0::2]
+    zi = xb[:, 1::2]
+    Zr, Zi = _fft_matmul_core(zr, zi, half)
+    idx = (-np.arange(half)) % half
+    Zcr = Zr[:, idx]
+    Zci = -Zi[:, idx]
+    Er = 0.5 * (Zr + Zcr)
+    Ei = 0.5 * (Zi + Zci)
+    Or = 0.5 * (Zi - Zci)
+    Oi = -0.5 * (Zr - Zcr)
+    k = np.arange(half)
+    w = np.exp(-2j * np.pi * k / n)
+    wr = jnp.asarray(w.real.astype(np.float32))
+    wi = jnp.asarray(w.imag.astype(np.float32))
+    Xr = Er + wr * Or - wi * Oi
+    Xi = Ei + wr * Oi + wi * Or
+    # Bin n/2 (Nyquist): X[n/2] = E[0] - O[0]
+    xnyq_r = (Er[:, :1] - Or[:, :1])
+    xnyq_i = (Ei[:, :1] - Oi[:, :1])
+    outr = jnp.concatenate([Xr, xnyq_r], axis=-1)
+    outi = jnp.concatenate([Xi, xnyq_i], axis=-1)
+    out_shape = shape[:-1] + (half + 1,)
+    return outr.reshape(out_shape), outi.reshape(out_shape)
+
+
+def rfft_matmul(x: jnp.ndarray, n: Optional[int] = None) -> jnp.ndarray:
+    if n is None:
+        n = x.shape[-1]
+    if x.shape[-1] != n:
+        x = _pad_or_trim(x, n)
+    outr, outi = _rfft_matmul_jit(x, n)
+    return jax.lax.complex(outr, outi)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _irfft_matmul_jit(specr, speci, n):
+    """Inverse real FFT of size n via one complex inverse FFT of size n/2.
+
+    Reverses the packing of ``_rfft_matmul_jit``: rebuild
+    Z[k] = E[k] + j·W_n^{-k}·O[k] from the spectrum's conjugate symmetry,
+    inverse-transform, and interleave real/imag as even/odd samples.
+    """
+    half = n // 2
+    shape = specr.shape
+    sr = specr.reshape(-1, half + 1).astype(jnp.float32)
+    si = speci.reshape(-1, half + 1).astype(jnp.float32)
+    Xr, Xi = sr[:, :half], si[:, :half]
+    # Xc[k] = conj(X[n/2 - k]) for k = 0..n/2-1 (bins n/2..1 reversed)
+    rev = half - np.arange(half)
+    Xcr = sr[:, rev]
+    Xci = -si[:, rev]
+    Er = 0.5 * (Xr + Xcr)
+    Ei = 0.5 * (Xi + Xci)
+    k = np.arange(half)
+    w = np.exp(2j * np.pi * k / n)  # W_n^{-k}
+    wr = jnp.asarray(w.real.astype(np.float32))
+    wi = jnp.asarray(w.imag.astype(np.float32))
+    Dr = 0.5 * (Xr - Xcr)
+    Di = 0.5 * (Xi - Xci)
+    # O[k] = W_n^{-k} · (X[k] − Xc[k])/2 ... recovered odd part
+    Or_ = wr * Dr - wi * Di
+    Oi_ = wr * Di + wi * Dr
+    # Z[k] = E[k] + j·O'[k]  where O'[k] = W^{-k}·O-part; j·(a+jb) = -b + ja
+    Zr = Er - Oi_
+    Zi = Ei + Or_
+    # inverse complex FFT of size half: ifft(z) = conj(fft(conj(z)))/half
+    fr, fi = _fft_matmul_core(Zr, -Zi, half)
+    zr = fr / half
+    zi = -fi / half
+    out = jnp.stack([zr, zi], axis=-1).reshape(-1, n)
+    return out.reshape(shape[:-1] + (n,))
+
+
+def irfft_matmul(spec: jnp.ndarray, n: Optional[int] = None) -> jnp.ndarray:
+    if n is None:
+        n = 2 * (spec.shape[-1] - 1)
+    return _irfft_matmul_jit(jnp.real(spec), jnp.imag(spec), n)
+
+
+def _pad_or_trim(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    t = x.shape[-1]
+    if t == n:
+        return x
+    if t > n:
+        return x[..., :n]
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, n - t)]
+    return jnp.pad(x, pad)
+
+
+def _resolve_method(method: str, n: int) -> str:
+    if method == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        return "matmul" if (on_tpu and _is_pow2(n) and n >= 16) else "xla"
+    return method
+
+
+def fft(x: jnp.ndarray, n: Optional[int] = None, *, method: str = "auto"):
+    """Complex FFT along the last axis.  ``method``: auto | xla | matmul."""
+    n = n or x.shape[-1]
+    m = _resolve_method(method, n)
+    if m == "matmul":
+        return fft_matmul(x, n)
+    return jnp.fft.fft(x, n=n, axis=-1)
+
+
+def ifft(x: jnp.ndarray, n: Optional[int] = None, *, method: str = "auto"):
+    n = n or x.shape[-1]
+    m = _resolve_method(method, n)
+    if m == "matmul":
+        return jnp.conj(fft_matmul(jnp.conj(x), n)) / n
+    return jnp.fft.ifft(x, n=n, axis=-1)
+
+
+def rfft(x: jnp.ndarray, n: Optional[int] = None, *, method: str = "auto"):
+    n = n or x.shape[-1]
+    m = _resolve_method(method, n)
+    if m == "matmul" and n % 2 == 0:
+        return rfft_matmul(x, n)
+    return jnp.fft.rfft(x, n=n, axis=-1)
+
+
+def irfft(x: jnp.ndarray, n: Optional[int] = None, *, method: str = "auto"):
+    n = n or 2 * (x.shape[-1] - 1)
+    m = _resolve_method(method, n)
+    if m == "matmul" and n % 2 == 0:
+        return irfft_matmul(x, n)
+    return jnp.fft.irfft(x, n=n, axis=-1)

@@ -1,0 +1,12 @@
+"""Chain composition and streaming execution (SURVEY.md layer T4)."""
+
+from llzlab_tpu.pipeline.chain import (  # noqa: F401
+    Chain,
+    Stage,
+    FIRStage,
+    SOSStage,
+    ResampleStage,
+    SpectralGainStage,
+    FFTStage,
+    LambdaStage,
+)

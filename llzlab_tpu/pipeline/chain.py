@@ -1,0 +1,277 @@
+"""Chain: graph composition of ops with streaming state carry.
+
+Capability parity target: the reference's per-tool frame loops (wav in →
+process → wav out, with per-module history buffers; mount empty — spec
+anchors BASELINE.json:10 "STFT→spectral-gain→iSTFT chain" and
+BASELINE.json:11 "FIR+resample+FFT channelizer").
+
+TPU-first design: a ``Chain`` is a pure function over ``(signal, state)``
+pytrees — one jit region per block, no per-frame host loop.  Each
+``Stage`` declares its streaming state (FIR history, biquad z1/z2,
+resampler phase history) so a chain can process an unbounded stream as an
+outer host loop over super-blocks with carried state, and can be
+checkpointed/resumed mid-stream (state is a few KB per channel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llzlab_tpu.ops import fir as _fir
+from llzlab_tpu.ops import iir as _iir
+from llzlab_tpu.ops import resample as _resample
+from llzlab_tpu.ops import spectral as _stft
+from llzlab_tpu.ops import transform as _fft
+
+__all__ = [
+    "Stage",
+    "FIRStage",
+    "SOSStage",
+    "ResampleStage",
+    "SpectralGainStage",
+    "FFTStage",
+    "LambdaStage",
+    "Chain",
+]
+
+
+class Stage:
+    """One processing stage.  Subclasses are static (hashable) configs; all
+    array data flows through ``apply``."""
+
+    #: output_rate = input_rate · rate_num / rate_den (for stream bookkeeping)
+    rate: Tuple[int, int] = (1, 1)
+    #: input block lengths must be a multiple of this for exact streaming
+    block_multiple: int = 1
+
+    def init_state(self, batch_shape: Tuple[int, ...], dtype=jnp.float32):
+        return None
+
+    def apply(self, x: jnp.ndarray, state):
+        raise NotImplementedError
+
+
+class FIRStage(Stage):
+    """Causal FIR filtering (overlap-save or direct; ops/fir.py)."""
+
+    def __init__(self, taps, *, method: str = "auto", nfft: Optional[int] = None):
+        self.taps = np.asarray(taps, dtype=np.float64)
+        self.method = method
+        self.nfft = nfft
+        ntaps = len(self.taps)
+        eff_method = method if method != "auto" else (
+            "direct" if ntaps <= 128 else "ols"
+        )
+        eff_nfft = nfft or _fir.default_nfft(ntaps)
+        self._state_len = _fir.fir_state_len(ntaps, eff_nfft, eff_method)
+        # exact streaming when blocks align with the overlap-save frame grid
+        self.block_multiple = (
+            _fir.ols_hop(ntaps, eff_nfft) if eff_method == "ols" else 1
+        )
+
+    def init_state(self, batch_shape, dtype=jnp.float32):
+        return jnp.zeros(batch_shape + (self._state_len,), dtype)
+
+    def apply(self, x, state):
+        y, zf = _fir.fir_filter(
+            x, self.taps, method=self.method, nfft=self.nfft, zi=state,
+            return_zf=True,
+        )
+        return y, zf
+
+
+class SOSStage(Stage):
+    """Cascaded-biquad filtering via blockwise parallel scan (ops/iir.py)."""
+
+    def __init__(self, sos, *, block_size: int = 4096):
+        self.sos = np.asarray(sos, dtype=np.float64)
+        self.block_size = block_size
+        self.block_multiple = block_size
+
+    def init_state(self, batch_shape, dtype=jnp.float32):
+        return jnp.zeros(batch_shape + (self.sos.shape[0], 2), jnp.float32)
+
+    def apply(self, x, state):
+        return _iir.sosfilt(
+            self.sos, x, zi=state, block_size=self.block_size, return_zf=True
+        )
+
+
+class ResampleStage(Stage):
+    """Rational polyphase resampling (ops/resample.py)."""
+
+    def __init__(self, up: int, down: int, *, taps=None, taps_per_phase: int = 64):
+        import math
+
+        g = math.gcd(up, down)
+        self.up, self.down = up // g, down // g
+        if taps is None:
+            taps = _resample.resample_taps(self.up, self.down, taps_per_phase)
+        taps = np.asarray(taps, dtype=np.float64)
+        if len(taps) % self.up != 0:
+            taps = np.pad(taps, (0, self.up - len(taps) % self.up))
+        self.taps = taps
+        self.k = len(taps) // self.up
+        self.rate = (self.up, self.down)
+        self.block_multiple = self.down
+
+    def init_state(self, batch_shape, dtype=jnp.float32):
+        return jnp.zeros(batch_shape + (self.k - 1,), jnp.float32)
+
+    def apply(self, x, state):
+        return _resample.resample_poly(
+            x, self.up, self.down, taps=self.taps, zi=state, return_zf=True
+        )
+
+
+class SpectralGainStage(Stage):
+    """STFT → per-bin gain → iSTFT (the BASELINE.json:10 workload).
+
+    ``gain`` is an ``(n_fft//2+1,)`` array, or a callable mapping the
+    complex spectrum ``(..., nf, bins)`` to a (broadcastable) gain.
+    Stateless per block (block-edge windows taper via the COLA envelope);
+    feeding blocks at hop multiples keeps interior frames identical.
+    """
+
+    def __init__(
+        self,
+        gain,
+        *,
+        n_fft: int = 2048,
+        hop: Optional[int] = None,
+        window: str = "hann",
+        method: str = "auto",
+    ):
+        self.gain = gain if callable(gain) else np.asarray(gain, np.float32)
+        self.n_fft = n_fft
+        self.hop = hop or n_fft // 4
+        self.window = window
+        self.method = method
+        self.block_multiple = self.hop
+
+    def apply(self, x, state):
+        spec = _stft.stft(
+            x, n_fft=self.n_fft, hop=self.hop, window=self.window,
+            method=self.method,
+        )
+        if callable(self.gain):
+            spec = spec * self.gain(spec)
+        else:
+            spec = spec * jnp.asarray(self.gain)
+        y = _stft.istft(
+            spec, n_fft=self.n_fft, hop=self.hop, window=self.window,
+            method=self.method, length=x.shape[-1],
+        )
+        return y.astype(x.dtype), state
+
+
+class FFTStage(Stage):
+    """Frame the stream into n-point blocks and emit their spectra
+    (channelizer back-end: (..., T) → complex (..., T//n, n//2+1))."""
+
+    def __init__(self, n: int, *, window=None, method: str = "auto"):
+        self.n = n
+        self.window = window
+        self.method = method
+        self.block_multiple = n
+
+    def apply(self, x, state):
+        t = x.shape[-1]
+        nfr = t // self.n
+        xf = x[..., : nfr * self.n].reshape(x.shape[:-1] + (nfr, self.n))
+        if self.window is not None:
+            from llzlab_tpu.ops.window import get_window
+
+            xf = xf * jnp.asarray(
+                get_window(self.window, self.n, periodic=True).astype(np.float32)
+            )
+        return _fft.rfft(xf, self.n, method=self.method), state
+
+
+class LambdaStage(Stage):
+    """Stateless elementwise stage from a plain function."""
+
+    def __init__(self, fn: Callable[[jnp.ndarray], jnp.ndarray]):
+        self.fn = fn
+
+    def apply(self, x, state):
+        return self.fn(x), state
+
+
+class Chain:
+    """Composition of stages with a combined streaming state pytree.
+
+    One-shot: ``y = chain(x)``.  Streaming: ``state = chain.init_state(
+    batch_shape)``; then ``y, state = chain.apply(x_block, state)`` per
+    block (wrap ``chain.apply`` in ``jax.jit`` — stages are static).
+    """
+
+    def __init__(self, stages: Sequence[Stage]):
+        self.stages = tuple(stages)
+
+    @property
+    def block_multiple(self) -> int:
+        """Smallest chain-input block granularity M for exact streaming.
+
+        Stage i sees block length M·(num_acc/den_acc) where (num_acc,
+        den_acc) accumulates the upstream rate changes; M is the LCM of the
+        per-stage requirements that this be a multiple of
+        ``stage.block_multiple``.
+        """
+        m = 1
+        num_acc, den_acc = 1, 1
+        for st in self.stages:
+            need = st.block_multiple * den_acc
+            need //= _gcd(num_acc, need)
+            m = _lcm(m, need)
+            num_acc *= st.rate[0]
+            den_acc *= st.rate[1]
+            g = _gcd(num_acc, den_acc)
+            num_acc //= g
+            den_acc //= g
+        return m
+
+    def init_state(self, batch_shape: Tuple[int, ...], dtype=jnp.float32):
+        return tuple(st.init_state(batch_shape, dtype) for st in self.stages)
+
+    def apply(self, x: jnp.ndarray, state):
+        new_state = []
+        for st, s in zip(self.stages, state):
+            x, s = st.apply(x, s)
+            new_state.append(s)
+        return x, tuple(new_state)
+
+    def __call__(self, x: jnp.ndarray):
+        y, _ = self.apply(x, self.init_state(x.shape[:-1], x.dtype))
+        return y
+
+    def stream(self, blocks, batch_shape=None, dtype=jnp.float32):
+        """Generator: yield processed blocks, carrying state."""
+        state = None
+        apply_fn = jax.jit(self.apply) if _stages_jittable(self.stages) else self.apply
+        for blk in blocks:
+            if state is None:
+                bs = batch_shape if batch_shape is not None else blk.shape[:-1]
+                state = self.init_state(bs, dtype)
+            y, state = apply_fn(blk, state)
+            yield y
+
+
+def _gcd(a, b):
+    import math
+
+    return math.gcd(int(a), int(b))
+
+
+def _lcm(a, b):
+    return a * b // _gcd(a, b)
+
+
+def _stages_jittable(stages) -> bool:
+    return True

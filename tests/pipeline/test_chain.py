@@ -1,0 +1,104 @@
+"""Chain composition + streaming invariants (SURVEY.md §4.6)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import scipy.signal as ss
+
+import llzlab_tpu as lz
+from llzlab_tpu.pipeline import (
+    Chain,
+    FIRStage,
+    SOSStage,
+    ResampleStage,
+    SpectralGainStage,
+    FFTStage,
+)
+
+
+class TestChainBasics:
+    def test_single_stage_equals_op(self):
+        taps = lz.firwin(255, 0.3)
+        rng = np.random.default_rng(51)
+        x = rng.standard_normal((2, 10000)).astype(np.float32)
+        y_chain = np.asarray(Chain([FIRStage(taps, method="direct")])(x))
+        y_op = np.asarray(lz.fir_filter(x, taps, method="direct"))
+        np.testing.assert_array_equal(y_chain, y_op)
+
+    def test_fir_resample_chain(self, snr):
+        taps = lz.firwin(1024, 0.4)
+        rtaps = lz.resample_taps(147, 160, 64)
+        chain = Chain([FIRStage(taps), ResampleStage(147, 160, taps=rtaps)])
+        rng = np.random.default_rng(52)
+        x = rng.standard_normal(48000).astype(np.float32)
+        y = np.asarray(chain(x))
+        ref_f = ss.lfilter(taps, [1.0], x.astype(np.float64))
+        ref = ss.upfirdn(rtaps, ref_f, 147, 160)[: y.shape[-1]]
+        assert y.shape[-1] == 44100
+        assert snr(ref, y) >= 100.0
+
+    def test_block_multiple_is_sane(self):
+        taps = lz.firwin(1024, 0.4)
+        chain = Chain([FIRStage(taps), ResampleStage(147, 160), FFTStage(2048)])
+        m = chain.block_multiple
+        assert m <= 20_000_000  # must be usable, not astronomically large
+        # streaming granularity must satisfy each constraint
+        assert m % 3072 == 0  # FIR OLS hop
+        assert m % 160 == 0  # resampler down-factor
+
+    def test_streaming_matches_oneshot(self):
+        taps = lz.firwin(1024, 0.4)
+        chain = Chain([FIRStage(taps), ResampleStage(147, 160)])
+        m = chain.block_multiple
+        rng = np.random.default_rng(53)
+        nblk = 3
+        x = rng.standard_normal((2, m * nblk)).astype(np.float32)
+        y_full = np.asarray(chain(x))
+        state = chain.init_state(x.shape[:-1], x.dtype)
+        outs = []
+        for i in range(nblk):
+            y, state = chain.apply(x[:, i * m : (i + 1) * m], state)
+            outs.append(np.asarray(y))
+        y_stream = np.concatenate(outs, axis=-1)
+        np.testing.assert_array_equal(y_stream, y_full)
+
+    def test_sos_stage_streaming(self):
+        sos = lz.peaking_eq_sos([200, 2000], [4, -3], 48000.0)
+        chain = Chain([SOSStage(sos, block_size=2048)])
+        rng = np.random.default_rng(54)
+        x = rng.standard_normal((4, 8192)).astype(np.float32)
+        y_full = np.asarray(chain(x))
+        state = chain.init_state((4,))
+        parts = []
+        for i in range(4):
+            y, state = chain.apply(x[:, i * 2048 : (i + 1) * 2048], state)
+            parts.append(np.asarray(y))
+        np.testing.assert_array_equal(np.concatenate(parts, -1), y_full)
+
+    def test_spectral_gain_chain(self, snr):
+        gain = np.ones(1025, np.float32)
+        chain = Chain([SpectralGainStage(gain)])
+        rng = np.random.default_rng(55)
+        x = rng.standard_normal((8, 16384)).astype(np.float32)
+        y = np.asarray(chain(x))
+        assert snr(x[:, 2048:-2048], y[:, 2048:-2048]) >= 120.0
+
+    def test_channelizer_chain_shape(self):
+        taps = lz.firwin(1024, 0.4)
+        chain = Chain([FIRStage(taps), ResampleStage(147, 160), FFTStage(2048)])
+        rng = np.random.default_rng(56)
+        x = rng.standard_normal((4, 163840)).astype(np.float32)
+        spec = chain(x)
+        n_res = 163840 * 147 // 160
+        assert spec.shape == (4, n_res // 2048, 1025)
+
+    def test_chain_apply_jits(self):
+        taps = lz.firwin(256, 0.3)
+        chain = Chain([FIRStage(taps, method="direct")])
+        rng = np.random.default_rng(57)
+        x = jnp.asarray(rng.standard_normal((2, 4096)).astype(np.float32))
+        state = chain.init_state((2,))
+        jitted = jax.jit(chain.apply)
+        y1, _ = jitted(x, state)
+        y2, _ = chain.apply(x, state)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
