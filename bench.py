@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Benchmark: 1024-tap FIR + 147/160 polyphase resample chain (BASELINE.json:2).
+
+Prints ONE JSON line to stdout:
+  {"metric": "...", "value": N, "unit": "Msamples/s/chip", "vs_baseline": N,
+   "snr_db": ..., ...}
+
+value       = input Msamples/s through the jitted streaming chain on one chip
+vs_baseline = speedup over the serial reference implementation stand-in
+              (single-thread scipy lfilter+upfirdn, the same math the C
+              reference runs; the real repo publishes no numbers —
+              BASELINE.json:13 "published": {}).
+snr_db      = chain output vs float64 scipy golden on identical vectors
+              (acceptance: ≥ 80 dB, BASELINE.json:5).
+
+Detail lines go to stderr.  Flags: --channels, --seconds, --iters, --cpu.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--channels", type=int, default=64)
+    p.add_argument("--block", type=int, default=245760,
+                   help="samples per channel per step (multiple of 15360)")
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--fir-method", default="ols", choices=["ols", "direct"])
+    args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import scipy.signal as ss
+
+    import llzlab_tpu as lz
+    from llzlab_tpu.ops import fir as fir_mod
+
+    dev = jax.devices()[0]
+    log(f"backend={jax.default_backend()} device={dev.device_kind}")
+
+    taps = lz.firwin(1024, 0.25, window="hamming")
+    rtaps = lz.resample_taps(147, 160, 64)
+
+    C, T = args.channels, args.block
+    rng = np.random.default_rng(0)
+    x_np = rng.standard_normal((C, T)).astype(np.float32)
+    x = jax.device_put(jnp.asarray(x_np), dev)
+
+    hlen = fir_mod.fir_state_len(1024, method=args.fir_method)
+    k = len(rtaps) // 147
+
+    import functools
+
+    @jax.jit
+    def step(x, fir_st, rs_st):
+        y, zf1 = lz.fir_filter(
+            x, taps, method=args.fir_method, zi=fir_st, return_zf=True
+        )
+        z, zf2 = lz.resample_poly(y, 147, 160, taps=rtaps, zi=rs_st,
+                                  return_zf=True)
+        return z, zf1, zf2
+
+    fir_st = jnp.zeros((C, hlen), jnp.float32)
+    rs_st = jnp.zeros((C, k - 1), jnp.float32)
+
+    # --- correctness: SNR vs float64 scipy golden -------------------------
+    y64 = ss.lfilter(taps, [1.0], x_np[0].astype(np.float64))
+    z64 = ss.upfirdn(rtaps, y64, 147, 160)
+    z, _, _ = step(x, fir_st, rs_st)
+    z.block_until_ready()
+    ours = np.asarray(z[0], np.float64)
+    ref = z64[: ours.shape[0]]
+    err = ref - ours
+    snr = 10 * np.log10(np.sum(ref**2) / np.sum(err**2))
+    log(f"SNR vs scipy f64 golden: {snr:.1f} dB")
+
+    # --- throughput -------------------------------------------------------
+    for _ in range(args.warmup):
+        z, a, b = step(x, fir_st, rs_st)
+    z.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        z, a, b = step(x, a, b)
+    z.block_until_ready()
+    dt = time.perf_counter() - t0
+    samples = C * T * args.iters
+    msps = samples / dt / 1e6
+    log(f"chain: {msps:.1f} Msamples/s ({dt/args.iters*1e3:.2f} ms/step, "
+        f"{C}ch x {T} samp)")
+
+    # --- serial reference stand-in (single-thread scipy, C inner loops) ---
+    xb = x_np[0][: min(T, 480000)]
+    t0 = time.perf_counter()
+    yb = ss.lfilter(taps, [1.0], xb)
+    zb = ss.upfirdn(rtaps, yb, 147, 160)
+    dt_ref = time.perf_counter() - t0
+    ref_msps = len(xb) / dt_ref / 1e6
+    log(f"serial scipy reference: {ref_msps:.1f} Msamples/s")
+
+    out = {
+        "metric": "Msamples/s/chip for 1024-tap FIR+resample chain; "
+                  "SNR dB vs reference",
+        "value": round(msps, 2),
+        "unit": "Msamples/s/chip",
+        "vs_baseline": round(msps / ref_msps, 2),
+        "snr_db": round(float(snr), 1),
+        "channels": C,
+        "block": T,
+        "backend": jax.default_backend(),
+        "device": dev.device_kind,
+        "fir_method": args.fir_method,
+    }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

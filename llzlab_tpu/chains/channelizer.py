@@ -1,0 +1,191 @@
+"""Wideband channelizer — the flagship chain (BASELINE.json:11).
+
+``x (C, T)`` → 1024-tap FIR band-shaping → 147/160 polyphase resample →
+2048-point spectral framing, with channels and time-blocks distributed
+over the (channel, time) mesh.  The whole step is ONE ``shard_map`` region
+under jit: two left-halo ppermutes (FIR history, resampler history) are
+the only steady-state communication, both nearest-neighbour on the
+``time`` ICI axis; everything else is local MXU work (overlap-save block
+conv, polyphase slab matmul, matmul FFT).
+
+Reference counterpart: the per-tool frontends composing llz_fir/
+llz_resample/llz_fft in a serial frame loop (mount empty — SURVEY.md §3.5
+is the normative call stack for this chain).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from llzlab_tpu.ops import fir as _fir
+from llzlab_tpu.ops import resample as _rs
+from llzlab_tpu.ops import transform as _tf
+from llzlab_tpu.parallel.mesh import CHANNEL_AXIS, TIME_AXIS
+from llzlab_tpu.parallel.halo import left_halo, broadcast_from_last
+
+__all__ = ["Channelizer"]
+
+
+def _lcm(a, b):
+    return a * b // math.gcd(a, b)
+
+
+class Channelizer:
+    """FIR → resample → FFT chain, single-device or mesh-sharded.
+
+    Args:
+      fir_taps: band-shaping FIR (default 1024-tap 0.4·Nyquist lowpass).
+      up, down: resampling ratio (default 147/160 = 48 k→44.1 k).
+      fft_n: spectral frame length (default 2048).
+      resample_taps: polyphase prototype (default 64 taps/phase design).
+      fir_method: "ols" | "direct".
+    """
+
+    def __init__(
+        self,
+        *,
+        fir_taps=None,
+        up: int = 147,
+        down: int = 160,
+        fft_n: int = 2048,
+        resample_taps=None,
+        taps_per_phase: int = 64,
+        fir_method: str = "ols",
+        fft_method: str = "auto",
+    ):
+        if fir_taps is None:
+            fir_taps = _fir.firwin(1024, 0.4, window="hamming")
+        self.fir_taps = np.asarray(fir_taps, np.float64)
+        g = math.gcd(up, down)
+        self.up, self.down = up // g, down // g
+        if resample_taps is None:
+            resample_taps = _rs.resample_taps(self.up, self.down, taps_per_phase)
+        rt = np.asarray(resample_taps, np.float64)
+        if len(rt) % self.up:
+            rt = np.pad(rt, (0, self.up - len(rt) % self.up))
+        self.resample_taps = rt
+        self.k = len(rt) // self.up
+        self.fft_n = fft_n
+        self.fir_method = fir_method
+        self.fft_method = fft_method
+        ntaps = len(self.fir_taps)
+        self.nfft = _fir.default_nfft(ntaps)
+        self.h_fir = _fir.fir_state_len(ntaps, self.nfft, fir_method)
+        self.h_rs = self.k - 1
+
+    # ---------------- granularity ----------------
+
+    def block_multiple(self) -> int:
+        """Smallest per-shard T granularity satisfying every stage:
+        multiple of the OLS hop and of `down`, with the resampled length a
+        multiple of fft_n."""
+        hop = (
+            _fir.ols_hop(len(self.fir_taps), self.nfft)
+            if self.fir_method == "ols"
+            else 1
+        )
+        m = _lcm(hop, self.down)
+        # need (m·k)·up/down % fft_n == 0 → k multiple of fft_n/gcd
+        per = m * self.up // self.down  # resampled samples per m inputs
+        k = self.fft_n // math.gcd(per, self.fft_n)
+        return m * k
+
+    # ---------------- state ----------------
+
+    def init_state(self, n_channels: int, dtype=jnp.float32):
+        return (
+            jnp.zeros((n_channels, self.h_fir), dtype),
+            jnp.zeros((n_channels, self.h_rs), dtype),
+        )
+
+    # ---------------- single-device step ----------------
+
+    def step(self, x: jnp.ndarray, state):
+        """Unsharded pure step: ``(C, T)`` → ``(C, F, fft_n//2+1)``."""
+        fir_st, rs_st = state
+        y, fir_tail = _fir.fir_filter(
+            x, self.fir_taps, method=self.fir_method, nfft=self.nfft,
+            zi=fir_st, return_zf=True,
+        )
+        z, rs_tail = _rs.resample_poly(
+            y, self.up, self.down, taps=self.resample_taps, zi=rs_st,
+            return_zf=True,
+        )
+        spec = self._frames(z)
+        return spec, (fir_tail, rs_tail)
+
+    def _frames(self, z):
+        c = z.shape[0]
+        nf = z.shape[-1] // self.fft_n
+        zf = z[..., : nf * self.fft_n].reshape(c, nf, self.fft_n)
+        return _tf.rfft(zf, self.fft_n, method=self.fft_method)
+
+    # ---------------- sharded step ----------------
+
+    def sharded_step(self, mesh):
+        """Build the jitted mesh-sharded step: ``(x, state) → (spec, state)``.
+
+        ``x (C, T)`` sharded P(channel, time); state replicated over time.
+        Requires ``C % n_channel == 0`` and ``T/n_time`` a multiple of
+        :meth:`block_multiple`.
+        """
+        nt = mesh.shape[TIME_AXIS]
+
+        def local(x_l, fir_st, rs_st):
+            halo_f = left_halo(x_l, self.h_fir, first_shard_value=fir_st)
+            y, _ = _fir.fir_filter(
+                x_l, self.fir_taps, method=self.fir_method, nfft=self.nfft,
+                zi=halo_f, return_zf=True,
+            )
+            fir_tail = broadcast_from_last(x_l[..., -self.h_fir:])
+            halo_r = left_halo(y, self.h_rs, first_shard_value=rs_st)
+            z, _ = _rs.resample_poly(
+                y, self.up, self.down, taps=self.resample_taps, zi=halo_r,
+                return_zf=True,
+            )
+            rs_tail = broadcast_from_last(y[..., -self.h_rs:])
+            return self._frames(z), fir_tail, rs_tail
+
+        fn = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                P(CHANNEL_AXIS, TIME_AXIS),
+                P(CHANNEL_AXIS, None),
+                P(CHANNEL_AXIS, None),
+            ),
+            out_specs=(
+                P(CHANNEL_AXIS, TIME_AXIS, None),
+                P(CHANNEL_AXIS, None),
+                P(CHANNEL_AXIS, None),
+            ),
+            check_vma=False,
+        )
+
+        @jax.jit
+        def step(x, state):
+            spec, ft, rt = fn(x, state[0], state[1])
+            return spec, (ft, rt)
+
+        return step
+
+    def validate_sharded_shapes(self, mesh, c: int, t: int):
+        nc = mesh.shape[CHANNEL_AXIS]
+        nt = mesh.shape[TIME_AXIS]
+        if c % nc:
+            raise ValueError(f"C={c} not divisible by n_channel={nc}")
+        if t % nt:
+            raise ValueError(f"T={t} not divisible by n_time={nt}")
+        m = self.block_multiple()
+        if (t // nt) % m:
+            raise ValueError(
+                f"T_loc={t // nt} must be a multiple of {m} "
+                f"(OLS hop × down × fft alignment)"
+            )

@@ -155,13 +155,23 @@ def fir_halo(ntaps: int) -> int:
 
 
 def _frame_strided(x: jnp.ndarray, nfft: int, hop: int, nframes: int) -> jnp.ndarray:
-    """Frame (B, T) → (B, nframes, nfft) with given hop, via a static gather.
+    """Frame (B, T) → (B, nframes, nfft) with given hop — gather-free.
 
-    XLA turns the static-index gather into strided HBM reads; the ~nfft/hop
-    duplication (≈4/3 for default sizes) stays in VMEM-bound traffic.
+    Built from ``ceil(nfft/hop)`` shifted hop-block reshapes concatenated
+    along the last axis (XLA gathers are catastrophically slow on TPU; the
+    shifted-reshape form lowers to plain strided copies that fuse).
+    Requires ``len(x) ≥ (nframes-1+ceil(nfft/hop))·hop`` — callers pad.
     """
-    idx = np.arange(nframes)[:, None] * hop + np.arange(nfft)[None, :]
-    return x[:, idx]
+    b = x.shape[0]
+    nblk = -(-nfft // hop)
+    need = (nframes - 1 + nblk) * hop
+    if x.shape[1] < need:
+        x = jnp.pad(x, ((0, 0), (0, need - x.shape[1])))
+    parts = [
+        x[:, e * hop : (e + nframes) * hop].reshape(b, nframes, hop)
+        for e in range(nblk)
+    ]
+    return jnp.concatenate(parts, axis=-1)[:, :, :nfft]
 
 
 def _ols_filter(x: jnp.ndarray, taps: jnp.ndarray, nfft: int, hist: int) -> jnp.ndarray:
@@ -171,6 +181,8 @@ def _ols_filter(x: jnp.ndarray, taps: jnp.ndarray, nfft: int, hist: int) -> jnp.
     taps are zero-padded up to ``hist+1`` so each block's first ``hist``
     outputs are circular wrap-around to discard.
     """
+    from llzlab_tpu.ops import transform as _tf
+
     hop = nfft - hist
     b, tp = x.shape
     t = tp - hist
@@ -178,9 +190,11 @@ def _ols_filter(x: jnp.ndarray, taps: jnp.ndarray, nfft: int, hist: int) -> jnp.
     pad_tail = hist + nframes * hop - tp
     xp = jnp.pad(x, ((0, 0), (0, pad_tail)))
     frames = _frame_strided(xp, nfft, hop, nframes)  # (B, F, nfft)
-    H = jnp.fft.rfft(taps.astype(jnp.float32), n=nfft)  # (nfft//2+1,)
-    spec = jnp.fft.rfft(frames, n=nfft, axis=-1)
-    y = jnp.fft.irfft(spec * H, n=nfft, axis=-1)
+    # transform.rfft dispatches to the MXU-factored matmul FFT on TPU —
+    # the XLA TPU FFT is both slow and ~50 dB imprecise (SURVEY.md §7.2).
+    H = _tf.rfft(taps.astype(jnp.float32), nfft)  # (nfft//2+1,)
+    spec = _tf.rfft(frames, nfft)
+    y = _tf.irfft(spec * H, nfft)
     y = y[:, :, hist:]  # discard circular wrap-around
     return y.reshape(b, nframes * hop)[:, :t].astype(x.dtype)
 
@@ -198,6 +212,7 @@ def _direct_filter(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
         padding=[(0, 0)],
         dimension_numbers=("NCH", "OIH", "NCH"),
         preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,  # TPU f32 (see transform._cmatmul)
     )
     return out[:, 0, :].astype(x.dtype)
 

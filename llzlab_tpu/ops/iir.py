@@ -42,6 +42,10 @@ __all__ = [
     "rbj_biquad",
     "sosfilt",
     "sos_state_matrices",
+    "sos_plan",
+    "apply_section",
+    "section_transition",
+    "section_realization",
 ]
 
 
@@ -355,8 +359,10 @@ def _combine_companion(left, right):
     a_l, u_l = left
     a_r, u_r = right
     # (A_r·A_l, A_r·u_l + u_r); matrices act on the right operand's past.
-    a = jnp.einsum("...ij,...jk->...ik", a_r, a_l)
-    u = jnp.einsum("...ij,...j->...i", a_r, u_l) + u_r
+    a = jnp.einsum("...ij,...jk->...ik", a_r, a_l,
+                   precision=jax.lax.Precision.HIGHEST)
+    u = jnp.einsum("...ij,...j->...i", a_r, u_l,
+                   precision=jax.lax.Precision.HIGHEST) + u_r
     return a, u
 
 
@@ -380,7 +386,7 @@ def _companion_block(A, u_blk, s0):
     """
     L = u_blk.shape[0]
     u_blk, s0 = lax.optimization_barrier((u_blk, s0))
-    u_blk = u_blk.at[0].add(jnp.einsum("ij,bj->bi", A, s0))
+    u_blk = u_blk.at[0].add(jnp.einsum("ij,bj->bi", A, s0, precision=jax.lax.Precision.HIGHEST))
     A_elems = jnp.broadcast_to(A, (L,) + u_blk.shape[1:-1] + (2, 2))
     _, states = lax.associative_scan(
         _combine_companion, (A_elems, u_blk), axis=0
@@ -406,6 +412,111 @@ def _coupled_block(alpha, beta, u_blk, s0):
     return lax.optimization_barrier(jnp.stack([wr, wi], axis=-1))
 
 
+def sos_plan(sos):
+    """Host-side realization plan: ``(kinds tuple, params list)``.
+
+    ``kinds[s]`` is "coupled" or "companion"; ``params[s]`` is the matching
+    coefficient pytree for :func:`apply_section`.  Requires a concrete sos.
+    """
+    sos_np = np.asarray(sos, dtype=np.float64)
+    if sos_np.ndim != 2 or sos_np.shape[1] != 6:
+        raise ValueError(f"sos must be (ns, 6), got {sos_np.shape}")
+    if not np.allclose(sos_np[:, 3], 1.0):
+        raise ValueError("sos rows must be normalised to a0 == 1")
+    kinds = []
+    params = []
+    for row in sos_np:
+        kind, p = section_realization(row)
+        kinds.append(kind)
+        if kind == "coupled":
+            params.append(jnp.asarray(np.asarray(p, np.float32)))
+        else:
+            b0 = np.float32(row[0])
+            a1, a2 = row[4], row[5]
+            A = np.array([[-a1, 1.0], [-a2, 0.0]], np.float32)
+            B = np.array([row[1] - a1 * row[0], row[2] - a2 * row[0]], np.float32)
+            params.append((jnp.asarray(A), jnp.asarray(B), jnp.asarray(b0)))
+    return tuple(kinds), params
+
+
+def section_transition(sos_row, length: int):
+    """Host-side f64 affine map of one section over ``length`` samples in
+    its scan realization: state_out = M·state_in + (zero-init tail).
+
+    Returns ``M (2, 2) float32`` — the realization's transition matrix
+    raised to the ``length``-th power, computed in float64.  Used by the
+    cross-shard carry composition (parallel/carry_scan.py).
+    """
+    kind, p = section_realization(np.asarray(sos_row, np.float64))
+    if kind == "coupled":
+        alpha, beta = p[0], p[1]
+        pw = (alpha + 1j * beta) ** length
+        M = np.array([[pw.real, -pw.imag], [pw.imag, pw.real]])
+    else:
+        _, _, _, _, a1, a2 = np.asarray(sos_row, np.float64)
+        A = np.array([[-a1, 1.0], [-a2, 0.0]])
+        M = np.linalg.matrix_power(A, length)
+    return M.astype(np.float32)
+
+
+def padded_len(t: int, block_size: int) -> int:
+    """Scan length for a T-sample signal: multiple of block_size and ≥2
+    blocks (XLA deletes trip-count-1 while loops and inlines the body into
+    a different fusion context, which changes FMA formation and would break
+    bit-identical split invariance — BASELINE:9)."""
+    tp = t + ((-t) % block_size)
+    return max(tp, 2 * block_size)
+
+
+def apply_section(kind: str, params, cur: jnp.ndarray, s0_init: jnp.ndarray,
+                  block_size: int, zf_index: Optional[int] = None):
+    """Run one biquad section over ``cur (B, T)`` with ``s0_init (B, 2)``.
+
+    Traceable (used both by the single-device sosfilt and the sharded
+    carry-scan path in parallel/carry_scan.py).  Returns ``(y (B, T),
+    zf (B, 2))`` with ``zf`` the state after sample ``zf_index`` (default
+    the last sample).  For bit-stable cascades, feed an input whose length
+    is already ``padded_len`` and pass the true last index as ``zf_index``
+    — then no per-section re-padding happens and section boundaries keep a
+    fixed fusion context.
+    """
+    nb, t = cur.shape
+    L = block_size
+    tp = padded_len(t, L)
+    pad = tp - t
+    if zf_index is None:
+        zf_index = t - 1
+    xp = jnp.pad(cur, ((0, 0), (0, pad))) if pad else cur
+    nblocks = tp // L
+
+    if kind == "coupled":
+        alpha, beta, c1, c2, b0 = (params[i] for i in range(5))
+        u_blocks = xp.reshape(nb, nblocks, L).transpose(1, 2, 0)
+
+        def step(s0, u_blk):
+            states = _coupled_block(alpha, beta, u_blk, s0)
+            return states[-1], states
+
+        _, states = lax.scan(step, s0_init, u_blocks)  # (nbl, L, B, 2)
+        states = states.transpose(2, 0, 1, 3).reshape(nb, tp, 2)
+        w_prev = jnp.concatenate([s0_init[:, None, :], states[:, :-1, :]], axis=1)
+        y = b0 * xp + c1 * w_prev[..., 0] + c2 * w_prev[..., 1]
+    else:
+        A, B, b0 = params[0], params[1], params[2]
+        u = xp[..., None] * B  # (B, Tp, 2)
+        u_blocks = u.reshape(nb, nblocks, L, 2).transpose(1, 2, 0, 3)
+
+        def step(s0, u_blk):
+            states = _companion_block(A, u_blk, s0)
+            return states[-1], states
+
+        _, states = lax.scan(step, s0_init, u_blocks)
+        states = states.transpose(2, 0, 1, 3).reshape(nb, tp, 2)
+        s_prev = jnp.concatenate([s0_init[:, None, :], states[:, :-1, :]], axis=1)
+        y = b0 * xp + s_prev[..., 0]
+    return y[:, :t], states[:, zf_index, :]
+
+
 def _sosfilt_factory(kinds: Tuple[str, ...], block_size: int, return_zf: bool):
     """Build a jitted sosfilt for a static per-section realization plan."""
 
@@ -414,55 +525,16 @@ def _sosfilt_factory(kinds: Tuple[str, ...], block_size: int, return_zf: bool):
         shape = x.shape
         t = shape[-1]
         xb = x.reshape(-1, t).astype(jnp.float32)
-        nb = xb.shape[0]
-        L = block_size
-        pad = (-t) % L
-        # Always ≥2 blocks: XLA deletes trip-count-1 while loops and inlines
-        # the body into a different fusion context, which changes FMA
-        # formation and breaks bit-identical split invariance (BASELINE:9).
-        if t + pad < 2 * L:
-            pad = 2 * L - t
-        cur = jnp.pad(xb, ((0, 0), (0, pad)))
-        tp = t + pad
-        nblocks = tp // L
-
+        # Pad once for the whole cascade so every section sees the same
+        # fixed-shape blocks (stable fusion context between sections).
+        tp = padded_len(t, block_size)
+        cur = jnp.pad(xb, ((0, 0), (0, tp - t)))
         zf_out = []
         for s, kind in enumerate(kinds):
-            p = params[s]
-            s0_init = zi_b[:, s, :]
-            if kind == "coupled":
-                alpha, beta, c1, c2, b0 = (p[i] for i in range(5))
-                u_blocks = cur.reshape(nb, nblocks, L).transpose(1, 2, 0)
-
-                def step(s0, u_blk, alpha=alpha, beta=beta):
-                    states = _coupled_block(alpha, beta, u_blk, s0)
-                    return states[-1], states
-
-                _, states = lax.scan(step, s0_init, u_blocks)  # (nbl,L,B,2)
-                states = states.transpose(2, 0, 1, 3).reshape(nb, tp, 2)
-                w_prev = jnp.concatenate(
-                    [s0_init[:, None, :], states[:, :-1, :]], axis=1
-                )
-                if return_zf:
-                    zf_out.append(states[:, t - 1, :])
-                cur = b0 * cur + c1 * w_prev[..., 0] + c2 * w_prev[..., 1]
-            else:
-                A, B, b0 = p[0], p[1], p[2]
-                u = cur[..., None] * B  # (B, Tp, 2)
-                u_blocks = u.reshape(nb, nblocks, L, 2).transpose(1, 2, 0, 3)
-
-                def step(s0, u_blk, A=A):
-                    states = _companion_block(A, u_blk, s0)
-                    return states[-1], states
-
-                _, states = lax.scan(step, s0_init, u_blocks)
-                states = states.transpose(2, 0, 1, 3).reshape(nb, tp, 2)
-                s_prev = jnp.concatenate(
-                    [s0_init[:, None, :], states[:, :-1, :]], axis=1
-                )
-                if return_zf:
-                    zf_out.append(states[:, t - 1, :])
-                cur = b0 * cur + s_prev[..., 0]
+            cur, zf = apply_section(kind, params[s], cur, zi_b[:, s, :],
+                                    block_size, zf_index=t - 1)
+            if return_zf:
+                zf_out.append(zf)
         y = cur[:, :t].reshape(shape).astype(x.dtype)
         if not return_zf:
             return y
@@ -503,25 +575,9 @@ def sosfilt(
         bits (BASELINE.json:9 "bit-matched state carry").
       return_zf: also return final states for streaming continuation.
     """
+    kinds, params = sos_plan(sos)
     sos_np = np.asarray(sos, dtype=np.float64)
-    if sos_np.ndim != 2 or sos_np.shape[1] != 6:
-        raise ValueError(f"sos must be (ns, 6), got {sos_np.shape}")
-    if not np.allclose(sos_np[:, 3], 1.0):
-        raise ValueError("sos rows must be normalised to a0 == 1")
-    kinds = []
-    params = []
-    for row in sos_np:
-        kind, p = section_realization(row)
-        kinds.append(kind)
-        if kind == "coupled":
-            params.append(jnp.asarray(np.asarray(p, np.float32)))
-        else:
-            b0 = np.float32(row[0])
-            a1, a2 = row[4], row[5]
-            A = np.array([[-a1, 1.0], [-a2, 0.0]], np.float32)
-            B = np.array([row[1] - a1 * row[0], row[2] - a2 * row[0]], np.float32)
-            params.append((jnp.asarray(A), jnp.asarray(B), jnp.asarray(b0)))
-    run = _sosfilt_cached(tuple(kinds), int(block_size), bool(return_zf))
+    run = _sosfilt_cached(kinds, int(block_size), bool(return_zf))
     nb = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
     ns = sos_np.shape[0]
     if zi is None:

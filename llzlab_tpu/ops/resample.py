@@ -138,7 +138,13 @@ def _resample_impl(x, w, zi, *, up, down, k, return_zf):
         for e in range(nblk)
     ]
     slab = jnp.concatenate(parts, axis=-1)[:, :, :k2]  # (B, S, k2)
-    y = jnp.einsum("bsk,pk->bsp", slab, w, preferred_element_type=jnp.float32)
+    # HIGHEST: TPU f32 matmuls default to bf16 passes (≈45 dB) — see
+    # transform._cmatmul.
+    y = jnp.einsum(
+        "bsk,pk->bsp", slab, w,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     n_out = resample_output_len(t, up, down)
     y = y.reshape(b, s_groups * up)[:, :n_out]
     y = y.reshape(shape[:-1] + (n_out,)).astype(x.dtype)

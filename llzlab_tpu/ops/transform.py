@@ -80,11 +80,21 @@ def _dft_tables(n: int) -> Tuple[np.ndarray, ...]:
 
 
 def _cmatmul(ar, ai, br, bi, eq: str):
-    """Complex matmul via 4 real einsums (each lowers to an MXU matmul)."""
-    rr = jnp.einsum(eq, ar, br, preferred_element_type=jnp.float32)
-    ii = jnp.einsum(eq, ai, bi, preferred_element_type=jnp.float32)
-    ri = jnp.einsum(eq, ar, bi, preferred_element_type=jnp.float32)
-    ir = jnp.einsum(eq, ai, br, preferred_element_type=jnp.float32)
+    """Complex matmul via 4 real einsums (each lowers to an MXU matmul).
+
+    ``Precision.HIGHEST`` is mandatory: the TPU default computes f32
+    matmuls with single-pass bf16 inputs (~8-bit mantissa), which caps the
+    whole transform near 45 dB — far under the 80 dB budget
+    (BASELINE.json:5).  HIGHEST uses enough bf16 passes for full f32.
+    """
+    kw = dict(
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    rr = jnp.einsum(eq, ar, br, **kw)
+    ii = jnp.einsum(eq, ai, bi, **kw)
+    ri = jnp.einsum(eq, ar, bi, **kw)
+    ir = jnp.einsum(eq, ai, br, **kw)
     return rr - ii, ri + ir
 
 

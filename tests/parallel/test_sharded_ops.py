@@ -1,0 +1,170 @@
+"""Sharded == unsharded invariants on the 8-device CPU mesh (SURVEY.md §4.4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import scipy.signal as ss
+
+import llzlab_tpu as lz
+from llzlab_tpu.parallel.mesh import make_dsp_mesh
+from llzlab_tpu.parallel import sharded_ops as so
+
+
+@pytest.fixture(scope="module")
+def mesh24():
+    return make_dsp_mesh(2, 4)
+
+
+@pytest.fixture(scope="module")
+def mesh81():
+    return make_dsp_mesh(8, 1)
+
+
+@pytest.fixture(scope="module")
+def mesh18():
+    return make_dsp_mesh(1, 8)
+
+
+EQ = lz.peaking_eq_sos(
+    [100, 200, 400, 800, 1600, 3200, 6400, 12800],
+    [3, -4, 5, -2, 6, -3, 2, -5],
+    48000.0,
+    q=1.0,
+)
+
+
+class TestFirSharded:
+    def test_bit_exact_vs_streaming(self, mesh24):
+        rng = np.random.default_rng(61)
+        taps = lz.firwin(512, 0.25)
+        t_loc = 3072  # multiple of the 512-tap OLS hop 1536
+        x = rng.standard_normal((8, 4 * t_loc)).astype(np.float32)
+        y_sh = np.asarray(so.fir_filter_sharded(jnp.asarray(x), taps, mesh24))
+        parts, zi = [], None
+        for j in range(4):
+            y, zi = lz.fir_filter(
+                x[:, j * t_loc : (j + 1) * t_loc], taps, method="ols",
+                zi=zi, return_zf=True,
+            )
+            parts.append(np.asarray(y))
+        np.testing.assert_array_equal(y_sh, np.concatenate(parts, -1))
+
+    def test_streaming_superblocks(self, mesh24, snr):
+        """Two super-blocks through the sharded op with carried state ==
+        one long sharded run."""
+        rng = np.random.default_rng(62)
+        taps = lz.firwin(512, 0.25)
+        t_loc = 3072
+        x = rng.standard_normal((4, 8 * t_loc)).astype(np.float32)
+        y_full = np.asarray(so.fir_filter_sharded(jnp.asarray(x), taps, mesh24))
+        y1, st = so.fir_filter_sharded(
+            jnp.asarray(x[:, : 4 * t_loc]), taps, mesh24, return_state=True
+        )
+        y2 = so.fir_filter_sharded(
+            jnp.asarray(x[:, 4 * t_loc :]), taps, mesh24, state=st
+        )
+        y_stream = np.concatenate([np.asarray(y1), np.asarray(y2)], -1)
+        np.testing.assert_array_equal(y_stream, y_full)
+
+    def test_channel_only_mesh(self, mesh81, snr):
+        rng = np.random.default_rng(63)
+        taps = lz.firwin(512, 0.3)
+        x = rng.standard_normal((16, 6144)).astype(np.float32)
+        y_sh = np.asarray(so.fir_filter_sharded(jnp.asarray(x), taps, mesh81))
+        y_ref = np.asarray(lz.fir_filter(x, taps, method="ols"))
+        np.testing.assert_array_equal(y_sh, y_ref)
+
+
+class TestResampleSharded:
+    def test_bit_exact_vs_streaming(self, mesh24):
+        rng = np.random.default_rng(64)
+        rt = lz.resample_taps(147, 160, 64)
+        t_loc = 1600
+        x = rng.standard_normal((8, 4 * t_loc)).astype(np.float32)
+        y_sh = np.asarray(
+            so.resample_sharded(jnp.asarray(x), 147, 160, mesh24, taps=rt)
+        )
+        parts, zi = [], None
+        for j in range(4):
+            y, zi = lz.resample_poly(
+                x[:, j * t_loc : (j + 1) * t_loc], 147, 160, taps=rt,
+                zi=zi, return_zf=True,
+            )
+            parts.append(np.asarray(y))
+        np.testing.assert_array_equal(y_sh, np.concatenate(parts, -1))
+
+    def test_output_sharded_length(self, mesh18):
+        x = np.zeros((4, 8 * 1600), np.float32)
+        y = so.resample_sharded(jnp.asarray(x), 147, 160, mesh18)
+        assert y.shape == (4, 8 * 1470)
+
+
+class TestSosfiltSharded:
+    def test_matches_unsharded(self, mesh24, snr):
+        rng = np.random.default_rng(65)
+        x = rng.standard_normal((8, 4 * 2048)).astype(np.float32)
+        y_sh = np.asarray(
+            so.sosfilt_sharded(jnp.asarray(x), EQ, mesh24, block_size=1024)
+        )
+        y_ref = np.asarray(lz.sosfilt(EQ, x, block_size=1024))
+        assert snr(y_ref, y_sh) >= 135.0
+
+    def test_matches_f64_golden(self, mesh24, snr):
+        rng = np.random.default_rng(66)
+        x = rng.standard_normal((8, 4 * 2048)).astype(np.float32)
+        y_sh = np.asarray(
+            so.sosfilt_sharded(jnp.asarray(x), EQ, mesh24, block_size=1024)
+        )
+        ref = ss.sosfilt(EQ, x.astype(np.float64), axis=-1)
+        assert snr(ref, y_sh) >= 120.0  # ≥80 dB required (BASELINE.json:5)
+
+    def test_channel_dp_bit_exact(self, mesh81):
+        """Channel-only sharding has no carries → bitwise equal."""
+        rng = np.random.default_rng(67)
+        x = rng.standard_normal((16, 4096)).astype(np.float32)
+        y_sh = np.asarray(
+            so.sosfilt_sharded(jnp.asarray(x), EQ, mesh81, block_size=1024)
+        )
+        y_ref = np.asarray(lz.sosfilt(EQ, x, block_size=1024))
+        np.testing.assert_array_equal(y_sh, y_ref)
+
+    def test_streaming_superblocks(self, mesh18, snr):
+        rng = np.random.default_rng(68)
+        x = rng.standard_normal((4, 16 * 1024)).astype(np.float32)
+        y_full = np.asarray(
+            so.sosfilt_sharded(jnp.asarray(x), EQ, mesh18, block_size=1024)
+        )
+        half = 8 * 1024
+        y1, st = so.sosfilt_sharded(
+            jnp.asarray(x[:, :half]), EQ, mesh18, block_size=1024,
+            return_state=True,
+        )
+        y2 = so.sosfilt_sharded(
+            jnp.asarray(x[:, half:]), EQ, mesh18, block_size=1024, state=st
+        )
+        y_stream = np.concatenate([np.asarray(y1), np.asarray(y2)], -1)
+        assert snr(y_full, y_stream) >= 135.0
+
+    def test_shard_count_consistency(self, mesh18, mesh24, snr):
+        """Different time-shard counts agree to scan-rounding level."""
+        rng = np.random.default_rng(69)
+        x = rng.standard_normal((8, 8 * 2048)).astype(np.float32)
+        y8 = np.asarray(
+            so.sosfilt_sharded(jnp.asarray(x), EQ, mesh18, block_size=1024)
+        )
+        y4 = np.asarray(
+            so.sosfilt_sharded(jnp.asarray(x), EQ, mesh24, block_size=1024)
+        )
+        assert snr(y8, y4) >= 135.0
+
+
+class TestFFTFramesSharded:
+    def test_matches_numpy(self, mesh24, snr):
+        rng = np.random.default_rng(70)
+        x = rng.standard_normal((8, 4 * 2048)).astype(np.float32)
+        S = np.asarray(so.fft_frames_sharded(jnp.asarray(x), 2048, mesh24))
+        ref = np.fft.rfft(x.astype(np.float64).reshape(8, 4, 2048), axis=-1)
+        assert S.shape == (8, 4, 1025)
+        assert snr(ref.real, S.real) >= 110.0
+        assert snr(ref.imag, S.imag) >= 110.0
