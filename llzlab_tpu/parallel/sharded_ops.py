@@ -18,11 +18,16 @@ stream can be pushed through the same jitted region super-block by
 super-block; shard 0 consumes the carried tail, the last shard's tail is
 broadcast back out.
 
-Invariance: sharded == unsharded streaming at ``T_loc`` granularity —
-bit-for-bit for FIR/resample (identical local arithmetic), ≥140 dB for
-the IIR carry composition (affine carry vs sequential scan rounding; the
-carried *state composition order* is fixed so results are deterministic
-and shard-count-reproducible).  Verified in tests/parallel/.
+Invariance contract (verified in tests/parallel/):
+* FIR/resample: sharded == unsharded streaming at ``T_loc`` granularity
+  bit-for-bit (pure history state, identical local arithmetic).
+* IIR: ≥140 dB vs unsharded (the affine carry composition and XLA's
+  batch-width-dependent FMA contraction reorder f32 rounding; exact
+  equality across *different compiled shapes* is not promised by XLA on
+  any backend).  What IS bit-exact: streaming the sharded op itself —
+  same shapes, carried state — reproduces the one-shot sharded run, and
+  the carry composition order is fixed, so results are deterministic run
+  to run.
 """
 
 from __future__ import annotations
@@ -201,6 +206,16 @@ def sosfilt_sharded(
         tp = _iir.padded_len(t_loc, block_size)
         cur = jnp.pad(cur, ((0, 0), (0, tp - t_loc)))
         zf_out = []
+        if nt == 1:
+            # Pure channel-DP: no carries to compose — run the exact
+            # single-device cascade (bit-identical to ops.sosfilt).
+            for s in range(ns):
+                cur, zf = _iir.apply_section(
+                    kinds[s], params[s], cur, st_l[:, s, :], block_size,
+                    zf_index=t_loc - 1,
+                )
+                zf_out.append(zf)
+            return cur[:, :t_loc].astype(x_l.dtype), jnp.stack(zf_out, axis=1)
         for s in range(ns):
             zero = jnp.zeros((cur.shape[0], 2), jnp.float32)
             # Pass 1: zero-init scan → this shard's zero-state end state.
