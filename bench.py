@@ -89,18 +89,34 @@ def main():
     log(f"SNR vs scipy f64 golden: {snr:.1f} dB")
 
     # --- throughput -------------------------------------------------------
-    for _ in range(args.warmup):
-        z, a, b = step(x, fir_st, rs_st)
-    z.block_until_ready()
+    # The whole measurement loop runs ON DEVICE inside one jit (lax.scan
+    # over steps with carried filter state): one dispatch + one result
+    # fetch, so tunnel/dispatch latency cannot pollute per-step time.
+    from jax import lax
+
+    def run_n(n):
+        @jax.jit
+        def go(x, fir0, rs0):
+            def body(carry, _):
+                f, r = carry
+                z, f2, r2 = step(x, f, r)
+                return (f2, r2), z[0, -1]
+            (f, r), probes = lax.scan(body, (fir0, rs0), None, length=n)
+            return probes
+
+        return go
+
+    go = run_n(args.iters)
+    probes = go(x, fir_st, rs_st)
+    _ = np.asarray(probes)  # warmup incl. compile + full execution
     t0 = time.perf_counter()
-    for _ in range(args.iters):
-        z, a, b = step(x, a, b)
-    z.block_until_ready()
+    probes = go(x, fir_st, rs_st)
+    _ = np.asarray(probes)  # force completion through the fetch
     dt = time.perf_counter() - t0
     samples = C * T * args.iters
     msps = samples / dt / 1e6
     log(f"chain: {msps:.1f} Msamples/s ({dt/args.iters*1e3:.2f} ms/step, "
-        f"{C}ch x {T} samp)")
+        f"{C}ch x {T} samp, {args.iters} on-device steps)")
 
     # --- serial reference stand-in (single-thread scipy, C inner loops) ---
     xb = x_np[0][: min(T, 480000)]
