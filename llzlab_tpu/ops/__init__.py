@@ -36,3 +36,4 @@ from llzlab_tpu.ops.resample import (  # noqa: F401
     resample_output_len,
 )
 from llzlab_tpu.ops.window import get_window  # noqa: F401
+from llzlab_tpu.ops.mdct import mdct, imdct  # noqa: F401

@@ -50,11 +50,12 @@ def make_dsp_mesh(
         n_channel = n // n_time
     elif n_time is None:
         n_time = n // n_channel
-    if n_channel * n_time != n:
+    if n_channel * n_time > n:
         raise ValueError(
-            f"mesh {n_channel}x{n_time} != {n} devices"
+            f"mesh {n_channel}x{n_time} needs more than {n} devices"
         )
-    arr = np.asarray(devs).reshape(n_channel, n_time)
+    # An explicit smaller shape uses a prefix of the devices.
+    arr = np.asarray(devs[: n_channel * n_time]).reshape(n_channel, n_time)
     return Mesh(arr, (CHANNEL_AXIS, TIME_AXIS))
 
 
