@@ -1,23 +1,29 @@
-"""Pallas TPU kernel: fused biquad-cascade parallel scan (SURVEY.md §2c.1).
+"""Pallas TPU kernel: fused biquad-cascade scan as triangular matmuls.
 
 The XLA ``associative_scan`` path (ops/iir.py) materialises per-section
-state arrays in HBM — ≥ 2·ns full passes over the signal.  This kernel
-keeps one (B_tile, L) time-block resident in VMEM and runs ALL sections'
-scans in place: one HBM read of x, one HBM write of y, everything else
-VPU work.  Streaming state (per-section coupled-form (wr, wi)) lives in a
-VMEM scratch that persists across the sequential TPU grid, so the kernel
-is the canonical blockwise computation — bit-stable streaming semantics
-identical to the op-level contract.
+state arrays in HBM (≥2·ns full passes over the signal), and a naive
+in-kernel Kogge–Stone needs log2(L) cross-lane rolls per section — VPU
+shuffles, the slowest thing a TPU does.  This kernel instead puts the
+scan on the MXU:
 
-Per section (coupled / Gold–Rader form, complex pole p = α+jβ):
-    w[n] = p·w[n−1] + x[n]          (Kogge–Stone: log2(L) shift-mac passes,
-                                     step constants p^(2^k) baked in)
-    carry-in: w[n] += p^(n+1)·w_in  (static (L,) power table input)
-    y[n] = b0·x[n] + c1·Re(w[n−1]) + c2·Im(w[n−1])
+With the block reshaped to (rows R, lanes 128) and section pole p:
 
-Real-pole (companion) sections are not supported here — ops.iir falls
-back to the XLA scan for those (audio EQ/butterworth cascades are
-complex-pole in practice).
+  1. intra-row scan  = one complex matmul with the constant triangular
+     matrix  T[j, k] = p^(k−j)·[k ≥ j]                  (128×128, MXU)
+  2. row entry states E_r = q^r·s_in + Σ_{r'<r} q^(r−1−r')·e_{r'} with
+     q = p^128 — one tiny (R×R) triangular matmul over the row ends
+  3. carry injection  w[r, k] += p^(k+1)·E_r            (elementwise)
+  4. y[n] = b0·x[n] + c1·Re(w[n−1]) + c2·Im(w[n−1]) — w_prev via one
+     single-lane roll + E_r at lane 0
+
+All 8 sections run VMEM-resident on one (B_tile, L) block: one HBM read
+of x, one write of y.  Constants are f64-derived on host.  Streaming
+state (coupled-form (wr, wi) per section) lives in VMEM scratch across
+the sequential grid — bit-stable blockwise semantics, same contract as
+ops.sosfilt.
+
+Coupled (Gold–Rader) realization only — ops.iir falls back to the XLA
+scan for real-pole sections.
 """
 
 from __future__ import annotations
@@ -35,6 +41,8 @@ from llzlab_tpu.ops import iir as _iir
 
 __all__ = ["sosfilt_pallas", "supports"]
 
+_LANE = 128
+
 
 def supports(sos) -> bool:
     """True iff every section has complex poles (coupled realization)."""
@@ -42,85 +50,112 @@ def supports(sos) -> bool:
     return all(k == "coupled" for k in kinds)
 
 
-def _section_constants(sos_np: np.ndarray, L: int):
-    """Static per-section constants, f64-derived.
+def _section_tables(sos_np: np.ndarray, L: int):
+    """Host-side f64-derived constants per section.
 
-    Returns (params, ptab) where params[s] = (alpha, beta, c1, c2, b0,
-    [p^(2^k) for k]) as python floats and ptab is the (ns, L, 2) f32
-    carry-injection table P[s, n] = p_s^(n+1).
+    Returns (coeffs, tri, rowq, inj) where, per section s with pole p:
+      tri[s]  (128, 128, 2): T[j,k] = p^(k−j) for k ≥ j else 0
+      rowq[s] (R, R, 2):     Q[r',r] = q^(r−1−r') for r' < r else 0, q=p^128
+      qpow[s] (R, 2):        q^r  (carry-in weight per row)
+      inj[s]  (128, 2):      p^(k+1) (carry injection within a row)
+      coeffs[s] = (c1, c2, b0)
     """
     ns = sos_np.shape[0]
-    logl = int(np.log2(L))
-    assert 1 << logl == L
-    params = []
-    ptab = np.zeros((ns, L, 2), np.float32)
+    R = L // _LANE
+    tri = np.zeros((ns, _LANE, _LANE, 2), np.float32)
+    rowq = np.zeros((ns, R, R, 2), np.float32)
+    qpow = np.zeros((ns, R, 2), np.float32)
+    inj = np.zeros((ns, _LANE, 2), np.float32)
+    coeffs = []
     for s in range(ns):
-        kind, p = _iir.section_realization(sos_np[s])
+        kind, prm = _iir.section_realization(sos_np[s])
         if kind != "coupled":
             raise ValueError("pallas biquad kernel requires complex poles")
-        alpha, beta, c1, c2, b0 = (float(v) for v in p)
-        pole = complex(alpha, beta)
-        steps = []
-        acc = pole
-        for _ in range(logl):
-            steps.append((float(acc.real), float(acc.imag)))
-            acc = acc * acc
-        powers = pole ** (np.arange(L, dtype=np.float64) + 1.0)
-        ptab[s, :, 0] = powers.real.astype(np.float32)
-        ptab[s, :, 1] = powers.imag.astype(np.float32)
-        params.append((alpha, beta, c1, c2, b0, tuple(steps)))
-    return params, ptab
+        alpha, beta, c1, c2, b0 = (float(v) for v in prm)
+        p = complex(alpha, beta)
+        k = np.arange(_LANE)
+        expo = k[None, :] - k[:, None]
+        Tm = np.where(expo >= 0, np.power(p, np.clip(expo, 0, None)), 0.0)
+        tri[s, :, :, 0] = Tm.real
+        tri[s, :, :, 1] = Tm.imag
+        q = p ** _LANE
+        r = np.arange(R)
+        eq = (r[None, :] - 1) - r[:, None]  # Q[r', r] exponent
+        Qm = np.where(eq >= 0, np.power(q, np.clip(eq, 0, None)), 0.0)
+        rowq[s, :, :, 0] = Qm.real
+        rowq[s, :, :, 1] = Qm.imag
+        qr = np.power(q, r)
+        qpow[s, :, 0] = qr.real
+        qpow[s, :, 1] = qr.imag
+        pk = np.power(p, k + 1)
+        inj[s, :, 0] = pk.real
+        inj[s, :, 1] = pk.imag
+        coeffs.append((c1, c2, b0))
+    return coeffs, tri, rowq, qpow, inj
 
 
-def _kernel(params, L, nblocks, zf_idx, x_ref, zi_ref, ptab_ref, y_ref,
-            zf_ref, carry, wr_s, wi_s):
+def _dot(a, b):
+    """Contract last dim of a with first of b (MXU, full f32)."""
+    return jax.lax.dot_general(
+        a, b, (((a.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _kernel(coeffs, L, nblocks, zf_idx, x_ref, zi_ref, tri_ref, rowq_ref,
+            qpow_ref, inj_ref, y_ref, zf_ref, carry):
+    # Blocks arrive pre-shaped (bt, R, 128): rows on sublanes, samples on
+    # lanes — no in-kernel relayout (a (bt, L)→(bt·R, 128) reshape would
+    # be a cross-tile shuffle in Mosaic).
     t = pl.program_id(1)
     bt = x_ref.shape[0]
+    R = L // _LANE
+    zf_r, zf_k = zf_idx // _LANE, zf_idx % _LANE
 
     @pl.when(t == 0)
     def _():
         carry[:] = zi_ref[:]
 
-    pos = jax.lax.broadcasted_iota(jnp.int32, (bt, L), dimension=1)
-    y_ref[:] = x_ref[:]  # section input accumulates in place
-    for s, (alpha, beta, c1, c2, b0, steps) in enumerate(params):
-        # In-place scan buffers (scratch refs, reused across steps and
-        # sections — keeps scoped-VMEM flat instead of one live SSA value
-        # per unrolled Kogge–Stone step).
-        wr_s[:] = y_ref[:]
-        wi_s[:] = jnp.zeros((bt, L), jnp.float32)
-        # Kogge–Stone inclusive scan: w[n] += p^(2^k) · w[n − 2^k].
-        for k, (pr, pi) in enumerate(steps):
-            sh = 1 << k
-            valid = pos >= sh
-            rr = jnp.where(valid, pltpu.roll(wr_s[:], sh, axis=1), 0.0)
-            ri = jnp.where(valid, pltpu.roll(wi_s[:], sh, axis=1), 0.0)
-            wr_new = wr_s[:] + pr * rr - pi * ri
-            wi_new = wi_s[:] + pr * ri + pi * rr
-            wr_s[:] = wr_new
-            wi_s[:] = wi_new
-        # Carry injection: w[n] += p^(n+1) · w_in  (exact affine update).
-        cr = carry[:, s, 0][:, None]  # (B_tile, 1)
+    y_ref[:] = x_ref[:]
+    for s, (c1, c2, b0) in enumerate(coeffs):
+        u = y_ref[:]  # (bt, R, 128) section input, real
+        # 1. intra-row inclusive scan via triangular matmul (complex out).
+        wr = _dot(u, tri_ref[s, :, :, 0])  # (bt, R, 128)
+        wi = _dot(u, tri_ref[s, :, :, 1])
+        # 2. row entry states from zero-init row ends e_r = w[., ., last].
+        er = wr[:, :, _LANE - 1]  # (bt, R)
+        ei = wi[:, :, _LANE - 1]
+        Er = _dot(er, rowq_ref[s, :, :, 0]) - _dot(ei, rowq_ref[s, :, :, 1])
+        Ei = _dot(er, rowq_ref[s, :, :, 1]) + _dot(ei, rowq_ref[s, :, :, 0])
+        cr = carry[:, s, 0][:, None]  # stream carry-in (bt, 1)
         ci = carry[:, s, 1][:, None]
-        tr = ptab_ref[s, :, 0][None, :]
-        ti = ptab_ref[s, :, 1][None, :]
-        wr_s[:] = wr_s[:] + tr * cr - ti * ci
-        wi_s[:] = wi_s[:] + tr * ci + ti * cr
-        # w_prev: shift by one, position 0 takes the carry itself.
-        first = pos < 1
-        w_prev_r = jnp.where(first, cr, pltpu.roll(wr_s[:], 1, axis=1))
-        w_prev_i = jnp.where(first, ci, pltpu.roll(wi_s[:], 1, axis=1))
-        carry[:, s, 0] = wr_s[:, L - 1]
-        carry[:, s, 1] = wi_s[:, L - 1]
+        qpr = qpow_ref[s, :, 0][None, :]
+        qpi = qpow_ref[s, :, 1][None, :]
+        Er = Er + qpr * cr - qpi * ci  # (bt, R)
+        Ei = Ei + qpr * ci + qpi * cr
+        # 3. inject row entries within each row: w += p^(k+1)·E_r.
+        ijr = inj_ref[s, :, 0][None, None, :]  # (1, 1, 128)
+        iji = inj_ref[s, :, 1][None, None, :]
+        Er3 = Er[:, :, None]
+        Ei3 = Ei[:, :, None]
+        w3r = wr + ijr * Er3 - iji * Ei3
+        w3i = wi + ijr * Ei3 + iji * Er3
+        # 4. w_prev: lane-roll by one; lane 0 takes E_r.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (bt, R, _LANE), 2)
+        first = lane < 1
+        wpr = jnp.where(first, Er3, pltpu.roll(w3r, 1, axis=2))
+        wpi = jnp.where(first, Ei3, pltpu.roll(w3i, 1, axis=2))
+        # stream carry out = state after the block's last sample.
+        carry[:, s, 0] = w3r[:, R - 1, _LANE - 1]
+        carry[:, s, 1] = w3i[:, R - 1, _LANE - 1]
 
-        # Final stream state = w at the last *real* sample (t−1 may sit
-        # inside a zero-padded tail block).
         @pl.when(t == nblocks - 1)
-        def _(s=s):
-            zf_ref[:, s, 0] = wr_s[:, zf_idx]
-            zf_ref[:, s, 1] = wi_s[:, zf_idx]
+        def _(s=s, w3r=w3r, w3i=w3i):
+            zf_ref[:, s, 0] = w3r[:, zf_r, zf_k]
+            zf_ref[:, s, 1] = w3i[:, zf_r, zf_k]
 
-        y_ref[:] = b0 * y_ref[:] + c1 * w_prev_r + c2 * w_prev_i
+        y_ref[:] = b0 * y_ref[:] + c1 * wpr + c2 * wpi
 
 
 def sosfilt_pallas(
@@ -134,25 +169,28 @@ def sosfilt_pallas(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused cascade filter: ``x (..., T)`` → ``(y, zf)``.
 
-    Requires all-complex-pole ``sos`` (see :func:`supports`) and pads
-    T to a multiple of ``block_size`` internally.  ``zi``/``zf`` use the
-    same opaque coupled-state layout as :func:`llzlab_tpu.ops.iir.sosfilt`.
+    Requires all-complex-pole ``sos`` (see :func:`supports`); pads T to a
+    multiple of ``block_size`` (itself a multiple of 128) internally.
+    ``zi``/``zf`` use the same opaque coupled-state layout as
+    :func:`llzlab_tpu.ops.iir.sosfilt`.
     """
     sos_np = np.asarray(sos, np.float64)
     ns = sos_np.shape[0]
     L = int(block_size)
-    params, ptab = _section_constants(sos_np, L)
+    if L % _LANE:
+        raise ValueError(f"block_size must be a multiple of {_LANE}")
+    coeffs, tri, rowq, qpow, inj = _section_tables(sos_np, L)
+    R = L // _LANE
 
     shape = x.shape
     t = shape[-1]
     xb = x.reshape(-1, t).astype(jnp.float32)
     b = xb.shape[0]
-    bt = min(batch_tile, b) if b % min(batch_tile, b) == 0 else 1
+    bt = min(batch_tile, b)
     while b % bt:
         bt -= 1
     pad_t = (-t) % L
-    pad_b = 0
-    xp = jnp.pad(xb, ((0, pad_b), (0, pad_t)))
+    xp = jnp.pad(xb, ((0, 0), (0, pad_t)))
     tp = t + pad_t
     nblocks = tp // L
     if zi is None:
@@ -160,39 +198,43 @@ def sosfilt_pallas(
     else:
         zi_b = jnp.asarray(zi).reshape(b, ns, 2).astype(jnp.float32)
 
-    kern = functools.partial(_kernel, params, L, nblocks, (t - 1) % L)
+    kern = functools.partial(_kernel, coeffs, L, nblocks, (t - 1) % L)
     grid = (b // bt, nblocks)
+    x3 = xp.reshape(b, tp // _LANE, _LANE)  # free view: rows × lanes
     y, zf = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bt, L), lambda i, j: (i, j),
+            pl.BlockSpec((bt, R, _LANE), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, ns, 2), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ns, L, 2), lambda i, j: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ns, _LANE, _LANE, 2),
+                         lambda i, j: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ns, R, R, 2),
+                         lambda i, j: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ns, R, 2),
+                         lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ns, _LANE, 2),
+                         lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((bt, L), lambda i, j: (i, j),
+            pl.BlockSpec((bt, R, _LANE), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, ns, 2), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, tp), jnp.float32),
+            jax.ShapeDtypeStruct((b, tp // _LANE, _LANE), jnp.float32),
             jax.ShapeDtypeStruct((b, ns, 2), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((bt, ns, 2), jnp.float32),
-            pltpu.VMEM((bt, L), jnp.float32),
-            pltpu.VMEM((bt, L), jnp.float32),
-        ],
+        scratch_shapes=[pltpu.VMEM((bt, ns, 2), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(xp, zi_b, jnp.asarray(ptab))
-    y = y[:, :t].reshape(shape).astype(x.dtype)
+    )(x3, zi_b, jnp.asarray(tri), jnp.asarray(rowq), jnp.asarray(qpow),
+      jnp.asarray(inj))
+    y = y.reshape(b, tp)[:, :t].reshape(shape).astype(x.dtype)
     zf = zf.reshape(shape[:-1] + (ns, 2))
     return y, zf
