@@ -33,6 +33,7 @@ import numpy as np
 from jax import lax
 
 from llzlab_tpu.ops.window import get_window
+from llzlab_tpu.ops.transform import matmul_precision as _matmul_precision
 
 __all__ = [
     "firwin",
@@ -212,7 +213,7 @@ def _direct_filter(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
         padding=[(0, 0)],
         dimension_numbers=("NCH", "OIH", "NCH"),
         preferred_element_type=jnp.float32,
-        precision=lax.Precision.HIGHEST,  # TPU f32 (see transform._cmatmul)
+        precision=_matmul_precision(),  # TPU f32 default is 1-pass bf16
     )
     return out[:, 0, :].astype(x.dtype)
 
@@ -273,7 +274,11 @@ def fir_filter(
     taps = jnp.asarray(taps, dtype=jnp.float32)
     ntaps = taps.shape[0]
     if method == "auto":
-        method = "direct" if ntaps <= 128 else "ols"
+        # XLA's TPU lowering of wide 1-D convs is ~100× off the OLS path
+        # (measured 17 vs 1500 Msps at 1024 taps); direct only wins for
+        # short filters on CPU.
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        method = "ols" if (on_tpu or ntaps > 128) else "direct"
     if method not in ("ols", "direct"):
         raise ValueError(f"unknown method {method!r}")
     if nfft is None:

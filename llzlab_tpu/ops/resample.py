@@ -138,12 +138,12 @@ def _resample_impl(x, w, zi, *, up, down, k, return_zf):
         for e in range(nblk)
     ]
     slab = jnp.concatenate(parts, axis=-1)[:, :, :k2]  # (B, S, k2)
-    # HIGHEST: TPU f32 matmuls default to bf16 passes (≈45 dB) — see
-    # transform._cmatmul.
+    from llzlab_tpu.ops.transform import matmul_precision
+
     y = jnp.einsum(
         "bsk,pk->bsp", slab, w,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=matmul_precision(),  # TPU f32 default is 1-pass bf16
     )
     n_out = resample_output_len(t, up, down)
     y = y.reshape(b, s_groups * up)[:, :n_out]

@@ -79,17 +79,30 @@ def _dft_tables(n: int) -> Tuple[np.ndarray, ...]:
     return tuple(out)
 
 
-def _cmatmul(ar, ai, br, bi, eq: str):
-    """Complex matmul via 4 real einsums (each lowers to an MXU matmul).
+def matmul_precision():
+    """MXU precision for all signal-path matmuls.
 
-    ``Precision.HIGHEST`` is mandatory: the TPU default computes f32
-    matmuls with single-pass bf16 inputs (~8-bit mantissa), which caps the
-    whole transform near 45 dB — far under the 80 dB budget
-    (BASELINE.json:5).  HIGHEST uses enough bf16 passes for full f32.
+    The TPU default computes f32 matmuls with single-pass bf16 inputs
+    (~8-bit mantissa), which caps transforms near 45 dB — far under the
+    80 dB budget (BASELINE.json:5).  HIGHEST (bf16 multi-pass ≈ full f32)
+    is the default; set LLZ_MATMUL_PRECISION=high to trade ~10–15 dB of
+    margin for ~2× MXU rate (bf16_3x) when a chain's budget allows.
     """
+    import os
+
+    name = os.environ.get("LLZ_MATMUL_PRECISION", "highest").lower()
+    return {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }[name]
+
+
+def _cmatmul(ar, ai, br, bi, eq: str):
+    """Complex matmul via 4 real einsums (each lowers to an MXU matmul)."""
     kw = dict(
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=matmul_precision(),
     )
     rr = jnp.einsum(eq, ar, br, **kw)
     ii = jnp.einsum(eq, ai, bi, **kw)

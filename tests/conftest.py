@@ -19,6 +19,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# The parallel tests are dominated by shard_map compiles (~10-40 s each on
+# an 8-device CPU mesh); persist them so repeated suite runs are cache hits.
+jax.config.update("jax_compilation_cache_dir", "/tmp/llzlab_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

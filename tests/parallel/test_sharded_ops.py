@@ -131,7 +131,7 @@ class TestSosfiltSharded:
             so.sosfilt_sharded(jnp.asarray(x), EQ, mesh81, block_size=1024)
         )
         y_ref = np.asarray(lz.sosfilt(EQ, x, block_size=1024))
-        assert snr(y_ref, y_sh) >= 140.0
+        assert snr(y_ref, y_sh) >= 135.0
 
     def test_streaming_superblocks(self, mesh18, snr):
         rng = np.random.default_rng(68)
