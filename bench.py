@@ -43,6 +43,10 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # Remote TPU compiles through this environment's tunnel are slow and
+    # variable (minutes); persist them so repeated bench runs are instant.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/llzlab_jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import scipy.signal as ss
 

@@ -41,6 +41,7 @@ __all__ = [
     "shelf_sos",
     "rbj_biquad",
     "sosfilt",
+    "sosfiltfilt",
     "sos_state_matrices",
     "sos_plan",
     "apply_section",
@@ -547,6 +548,36 @@ def _sosfilt_factory(kinds: Tuple[str, ...], block_size: int, return_zf: bool):
 @functools.lru_cache(maxsize=256)
 def _sosfilt_cached(kinds, block_size, return_zf):
     return _sosfilt_factory(kinds, block_size, return_zf)
+
+
+def sosfiltfilt(
+    sos,
+    x: jnp.ndarray,
+    *,
+    block_size: int = 4096,
+    padlen: Optional[int] = None,
+) -> jnp.ndarray:
+    """Zero-phase filtering: forward → reverse → forward → reverse.
+
+    Odd-reflection edge padding (scipy.sosfiltfilt-style) suppresses
+    startup transients; the result has zero group delay and the squared
+    magnitude response of ``sos``.
+    """
+    sos_np = np.asarray(sos, np.float64)
+    t = x.shape[-1]
+    if padlen is None:
+        padlen = min(3 * 2 * sos_np.shape[0] * 8, t - 1)
+    if padlen > 0:
+        head = 2 * x[..., :1] - x[..., 1 : padlen + 1][..., ::-1]
+        tail = 2 * x[..., -1:] - x[..., -padlen - 1 : -1][..., ::-1]
+        xe = jnp.concatenate([head, x, tail], axis=-1)
+    else:
+        xe = x
+    y = sosfilt(sos_np, xe, block_size=block_size)
+    y = sosfilt(sos_np, y[..., ::-1], block_size=block_size)[..., ::-1]
+    if padlen > 0:
+        y = y[..., padlen : padlen + t]
+    return y
 
 
 def sosfilt(

@@ -41,7 +41,25 @@ __all__ = [
     "resample_poly",
     "resample_output_len",
     "resample_halo",
+    "decimate",
 ]
+
+
+def decimate(
+    x: jnp.ndarray,
+    q: int,
+    *,
+    taps_per_phase: int = 64,
+    window=("kaiser", 8.0),
+) -> jnp.ndarray:
+    """Anti-aliased integer downsampling by ``q`` (FIR polyphase path).
+
+    Equivalent to ``resample_poly(x, 1, q)`` with a stopband-at-Nyquist
+    lowpass — the FIR analog of scipy.signal.decimate(ftype="fir").
+    """
+    return resample_poly(
+        x, 1, q, taps_per_phase=taps_per_phase, window=window
+    )
 
 
 def resample_output_len(t: int, up: int, down: int) -> int:
