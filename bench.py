@@ -43,18 +43,26 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    # Remote TPU compiles through this environment's tunnel are slow and
-    # variable (minutes); persist them so repeated bench runs are instant.
-    jax.config.update("jax_compilation_cache_dir", "/tmp/llzlab_jax_cache_tpu")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # (CPU only: the axon remote-compile path stalls when the
+        # persistent compilation cache tries to serialize executables.)
+        jax.config.update(
+            "jax_compilation_cache_dir", "/tmp/llzlab_jax_cache"
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import scipy.signal as ss
 
     import llzlab_tpu as lz
     from llzlab_tpu.ops import fir as fir_mod
 
+    import time as _t
+    _t0 = _t.time()
+
+    def stamp(msg):
+        log(f"[{_t.time()-_t0:6.1f}s] {msg}")
+
     dev = jax.devices()[0]
-    log(f"backend={jax.default_backend()} device={dev.device_kind}")
+    stamp(f"backend={jax.default_backend()} device={dev.device_kind}")
 
     taps = lz.firwin(1024, 0.25, window="hamming")
     rtaps = lz.resample_taps(147, 160, 64)
@@ -84,8 +92,10 @@ def main():
     # --- correctness: SNR vs float64 scipy golden -------------------------
     y64 = ss.lfilter(taps, [1.0], x_np[0].astype(np.float64))
     z64 = ss.upfirdn(rtaps, y64, 147, 160)
+    stamp("compiling SNR step...")
     z, _, _ = step(x, fir_st, rs_st)
     z.block_until_ready()
+    stamp("SNR step done")
     ours = np.asarray(z[0], np.float64)
     ref = z64[: ours.shape[0]]
     err = ref - ours
@@ -111,8 +121,10 @@ def main():
         return go
 
     go = run_n(args.iters)
+    stamp("compiling scanned loop...")
     probes = go(x, fir_st, rs_st)
     _ = np.asarray(probes)  # warmup incl. compile + full execution
+    stamp("scanned loop warm")
     t0 = time.perf_counter()
     probes = go(x, fir_st, rs_st)
     _ = np.asarray(probes)  # force completion through the fetch
