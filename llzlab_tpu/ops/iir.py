@@ -42,6 +42,8 @@ __all__ = [
     "rbj_biquad",
     "sosfilt",
     "sosfiltfilt",
+    "lfilter",
+    "tf2sos",
     "sos_state_matrices",
     "sos_plan",
     "apply_section",
@@ -548,6 +550,61 @@ def _sosfilt_factory(kinds: Tuple[str, ...], block_size: int, return_zf: bool):
 @functools.lru_cache(maxsize=256)
 def _sosfilt_cached(kinds, block_size, return_zf):
     return _sosfilt_factory(kinds, block_size, return_zf)
+
+
+def tf2sos(b, a) -> np.ndarray:
+    """Transfer-function (b, a) → second-order sections, float64 host-side.
+
+    Roots are paired by the same conjugate-aware strategy as the design
+    pipeline (:func:`_zpk2sos`); use for arbitrary (b, a) filters that
+    didn't come from the zpk designers.
+    """
+    b = np.atleast_1d(np.asarray(b, np.float64))
+    a = np.atleast_1d(np.asarray(a, np.float64))
+    if a[0] == 0:
+        raise ValueError("a[0] must be nonzero")
+    n = max(len(b), len(a))
+    b = np.pad(b / a[0], (0, n - len(b)))
+    a = np.pad(a / a[0], (0, n - len(a)))
+    # As z-polynomials of degree n−1 (z^-k coeff ↔ z^(n−1−k)); leading
+    # zeros of b just lower its degree — the missing zeros are "at
+    # infinity" and the pole surplus already encodes the extra delay.
+    nz = np.nonzero(b)[0]
+    if len(nz) == 0:
+        raise ValueError("numerator is zero")
+    gain = b[nz[0]]
+    z = np.roots(b)  # np trims leading zeros internally
+    p = np.roots(a)
+    return _zpk2sos(z, p, gain)
+
+
+def lfilter(
+    b,
+    a,
+    x: jnp.ndarray,
+    *,
+    block_size: int = 4096,
+    zi: Optional[jnp.ndarray] = None,
+    return_zf: bool = False,
+):
+    """General rational filtering ``H(z) = B(z)/A(z)`` along the last axis.
+
+    FIR (``a == [1]``) dispatches to :func:`llzlab_tpu.ops.fir.fir_filter`;
+    IIR factors into second-order sections and runs the parallel scan.
+    ``zi`` uses the dispatched representation (FIR history or SOS states).
+    """
+    a = np.atleast_1d(np.asarray(a, np.float64))
+    b = np.atleast_1d(np.asarray(b, np.float64))
+    if len(a) == 1:
+        from llzlab_tpu.ops import fir as _fir
+
+        return _fir.fir_filter(
+            x, b / a[0], zi=zi, return_zf=return_zf
+        )
+    sos = tf2sos(b, a)
+    return sosfilt(
+        sos, x, zi=zi, block_size=block_size, return_zf=return_zf
+    )
 
 
 def sosfiltfilt(

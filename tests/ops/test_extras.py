@@ -105,3 +105,36 @@ class TestAnalysis:
         x = np.sin(2 * np.pi * (k * fs / n_fft) * t).astype(np.float32)
         S = np.asarray(spectrogram(x, n_fft=n_fft))
         assert np.argmax(S.mean(axis=0)) == k
+
+
+class TestLfilter:
+    def test_tf2sos_response(self):
+        b, a = ss.butter(6, 0.3)
+        from llzlab_tpu.ops.iir import tf2sos
+        w0, h0 = ss.freqz(b, a, worN=512)
+        w1, h1 = ss.sosfreqz(tf2sos(b, a), worN=512)
+        np.testing.assert_allclose(h0, h1, atol=1e-10)
+
+    def test_tf2sos_delay_numerator(self):
+        from llzlab_tpu.ops.iir import tf2sos
+        b = np.array([0.0, 0.5, 0.25])
+        a = np.array([1.0, -0.5, 0.2])
+        w0, h0 = ss.freqz(b, a, worN=512)
+        w1, h1 = ss.sosfreqz(tf2sos(b, a), worN=512)
+        np.testing.assert_allclose(h0, h1, atol=1e-12)
+
+    def test_lfilter_iir(self, snr):
+        from llzlab_tpu.ops.iir import lfilter
+        rng = np.random.default_rng(165)
+        x = rng.standard_normal(16384).astype(np.float32)
+        b, a = ss.butter(4, 0.25)
+        ref = ss.lfilter(b, a, x.astype(np.float64))
+        assert snr(ref, np.asarray(lfilter(b, a, x))) >= 110.0
+
+    def test_lfilter_fir_dispatch(self, snr):
+        from llzlab_tpu.ops.iir import lfilter
+        rng = np.random.default_rng(166)
+        x = rng.standard_normal(8192).astype(np.float32)
+        taps = ss.firwin(64, 0.3)
+        ref = ss.lfilter(taps, [1.0], x.astype(np.float64))
+        assert snr(ref, np.asarray(lfilter(taps, [1.0], x))) >= 110.0
