@@ -2,8 +2,6 @@ import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspa
 import time
 import numpy as np
 import jax
-jax.config.update("jax_compilation_cache_dir", "/tmp/llzlab_jax_cache_tpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 from jax import lax
 import llzlab_tpu as lz
