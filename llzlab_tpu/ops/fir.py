@@ -243,6 +243,29 @@ def _fir_filter_impl(x, taps, zi, *, method: str, nfft: int, hlen: int,
     return y, zf
 
 
+@functools.partial(jax.jit, static_argnames=("nfft", "hlen", "return_zf"))
+def _fir_filter_fused_impl(x, tables, zi, *, nfft: int, hlen: int,
+                           return_zf: bool):
+    """Overlap-save via the fused spectral matmul path (ols_matmul)."""
+    from llzlab_tpu.ops import ols_matmul as _om
+
+    shape = x.shape
+    t = shape[-1]
+    xb = x.reshape(-1, t)
+    b = xb.shape[0]
+    if zi is None:
+        hist = jnp.zeros((b, hlen), dtype=jnp.float32)
+    else:
+        hist = zi.reshape(b, hlen).astype(jnp.float32)
+    xpad = jnp.concatenate([hist, xb.astype(jnp.float32)], axis=-1)
+    y = _om.ols_filter_matmul(xpad, tables, nfft, hlen).astype(x.dtype)
+    y = y.reshape(shape)
+    if not return_zf:
+        return y
+    zf = xpad[:, -hlen:].astype(x.dtype).reshape(shape[:-1] + (hlen,))
+    return y, zf
+
+
 def fir_filter(
     x: jnp.ndarray,
     taps,
@@ -251,6 +274,7 @@ def fir_filter(
     nfft: Optional[int] = None,
     zi: Optional[jnp.ndarray] = None,
     return_zf: bool = False,
+    spectral: str = "auto",
 ):
     """Causal FIR filtering ``y[n] = Σ_k taps[k]·x[n-k]`` along the last axis.
 
@@ -270,7 +294,18 @@ def fir_filter(
     ``ols_hop(ntaps, nfft)`` (frame grids coincide), ≥140 dB otherwise.
     The ``zi``/``zf`` history length is ``fir_state_len(ntaps, nfft,
     method)``.
+
+    ``spectral`` selects the overlap-save spectral engine: "fused" is the
+    single-linear-map MXU path (ols_matmul.py — fastest on TPU), "fft"
+    the generic rfft→⊙H→irfft path, "auto" fused on TPU / fft on CPU
+    (pocketfft wins there).  Fused needs host-concrete taps.  Note the
+    bit-exact-at-hop streaming guarantee applies to the "fft" engine;
+    "fused" goes through batched matmuls whose accumulation can shift by
+    an ulp with batch shape, so its split invariance is ≥140 dB.
     """
+    taps_host = None
+    if not isinstance(taps, jax.core.Tracer):
+        taps_host = np.asarray(jax.device_get(taps), np.float64)
     taps = jnp.asarray(taps, dtype=jnp.float32)
     ntaps = taps.shape[0]
     if method == "auto":
@@ -285,11 +320,37 @@ def fir_filter(
         nfft = default_nfft(ntaps)
     if nfft < 2 * ntaps:
         raise ValueError(f"nfft={nfft} too small for ntaps={ntaps}")
-    if method == "ols":
-        hlen = nfft - ols_hop(ntaps, nfft)
-        taps = jnp.pad(taps, (0, hlen + 1 - ntaps))
-    else:
-        hlen = ntaps - 1
+    if method == "direct":
+        return _fir_filter_impl(
+            x, taps, zi, method="direct", nfft=nfft, hlen=ntaps - 1,
+            return_zf=return_zf,
+        )
+
+    if spectral not in ("auto", "fused", "fft"):
+        raise ValueError(f"unknown spectral engine {spectral!r}")
+    hlen = nfft - ols_hop(ntaps, nfft)
+    if spectral == "auto":
+        # Measured on v5e (bench/tpu_fused_probe.py): the fft engine wins
+        # for now (1652 vs 834 Msps at 64ch) — the fused path's transposed
+        # layout loses more to relayouts than it gains on matmul shape.
+        # Keep fused opt-in until the Pallas fused kernel lands.
+        spectral = "fft"
+    hop = nfft - hlen
+    fused_ok = (
+        taps_host is not None
+        and nfft & (nfft - 1) == 0
+        and nfft >= 64
+        and hop % 2 == 0
+        and hlen % 2 == 0
+    )
+    if spectral == "fused" and fused_ok:
+        from llzlab_tpu.ops.ols_matmul import ols_tables
+
+        tb = ols_tables(taps_host, nfft)
+        return _fir_filter_fused_impl(
+            x, tb, zi, nfft=nfft, hlen=hlen, return_zf=return_zf
+        )
+    taps = jnp.pad(taps, (0, hlen + 1 - ntaps))
     return _fir_filter_impl(
-        x, taps, zi, method=method, nfft=nfft, hlen=hlen, return_zf=return_zf
+        x, taps, zi, method="ols", nfft=nfft, hlen=hlen, return_zf=return_zf
     )

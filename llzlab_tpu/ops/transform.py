@@ -173,9 +173,13 @@ def _rfft_matmul_jit(x, n):
     zr = xb[:, 0::2]
     zi = xb[:, 1::2]
     Zr, Zi = _fft_matmul_core(zr, zi, half)
-    idx = (-np.arange(half)) % half
-    Zcr = Zr[:, idx]
-    Zci = -Zi[:, idx]
+    # Z[(-k) mod half]: bin 0 fixed, bins 1..half-1 reversed — expressed as
+    # slice+reverse+concat (a constant permutation gather is catastrophically
+    # slow on TPU; lax.rev is a plain relayout).
+    def _mirror(t):
+        return jnp.concatenate([t[:, :1], jnp.flip(t[:, 1:], axis=-1)], -1)
+    Zcr = _mirror(Zr)
+    Zci = -_mirror(Zi)
     Er = 0.5 * (Zr + Zcr)
     Ei = 0.5 * (Zi + Zci)
     Or = 0.5 * (Zi - Zci)
@@ -217,10 +221,10 @@ def _irfft_matmul_jit(specr, speci, n):
     sr = specr.reshape(-1, half + 1).astype(jnp.float32)
     si = speci.reshape(-1, half + 1).astype(jnp.float32)
     Xr, Xi = sr[:, :half], si[:, :half]
-    # Xc[k] = conj(X[n/2 - k]) for k = 0..n/2-1 (bins n/2..1 reversed)
-    rev = half - np.arange(half)
-    Xcr = sr[:, rev]
-    Xci = -si[:, rev]
+    # Xc[k] = conj(X[n/2 - k]) for k = 0..n/2-1: bins n/2..1 reversed —
+    # a pure lax.rev of bins 1..n/2 (no gather).
+    Xcr = jnp.flip(sr[:, 1:], axis=-1)
+    Xci = -jnp.flip(si[:, 1:], axis=-1)
     Er = 0.5 * (Xr + Xcr)
     Ei = 0.5 * (Xi + Xci)
     k = np.arange(half)

@@ -109,3 +109,66 @@ class TestFirFilter:
         y = np.asarray(lz.fir_filter(x, taps))
         ys = np.asarray(lz.fir_filter(xs, taps))
         assert snr(y, ys[shift:]) >= 120.0
+
+
+class TestFirFused:
+    """Fused spectral-matmul OLS engine (ops/ols_matmul.py) vs goldens."""
+
+    @pytest.fixture(scope="class")
+    def taps(self):
+        return lz.firwin(1024, 0.25, window="hamming")
+
+    @pytest.mark.parametrize("nfft", [4096, 8192, 16384])
+    def test_snr_vs_scipy(self, taps, nfft, snr):
+        rng = np.random.default_rng(11)
+        x = rng.standard_normal((3, 50000)).astype(np.float32)
+        y = np.asarray(
+            lz.fir_filter(x, taps, method="ols", nfft=nfft, spectral="fused")
+        )
+        for i in range(3):
+            ref = ss.lfilter(taps, [1.0], x[i].astype(np.float64))
+            assert snr(ref, y[i]) >= 80.0  # typically >130
+
+    def test_matches_fft_engine(self, taps, snr):
+        rng = np.random.default_rng(12)
+        x = rng.standard_normal(30000).astype(np.float32)
+        a = np.asarray(lz.fir_filter(x, taps, method="ols", spectral="fused"))
+        b = np.asarray(lz.fir_filter(x, taps, method="ols", spectral="fft"))
+        assert snr(b, a) >= 120.0
+
+    def test_streaming_split_invariance(self, taps, snr):
+        # The fused engine's per-frame math runs through batched matmuls
+        # whose accumulation can differ at the last ulp when the batch
+        # shape changes (CPU GEMM blocking), so the streaming invariant is
+        # ≥130 dB rather than the fft engine's bit-exactness.
+        rng = np.random.default_rng(13)
+        hop = fir_mod.ols_hop(1024, 4096)
+        x = rng.standard_normal(9 * hop).astype(np.float32)
+        full = np.asarray(
+            lz.fir_filter(x, taps, method="ols", spectral="fused")
+        )
+        ya, zf = lz.fir_filter(
+            x[: 4 * hop], taps, method="ols", spectral="fused", return_zf=True
+        )
+        yb = lz.fir_filter(
+            x[4 * hop :], taps, method="ols", spectral="fused", zi=zf
+        )
+        cat = np.concatenate([np.asarray(ya), np.asarray(yb)])
+        assert snr(full, cat) >= 130.0
+
+    def test_short_filter_small_nfft(self, snr):
+        taps = lz.firwin(31, 0.3)
+        rng = np.random.default_rng(14)
+        x = rng.standard_normal(5000).astype(np.float32)
+        y = np.asarray(
+            lz.fir_filter(x, taps, method="ols", nfft=128, spectral="fused")
+        )
+        ref = ss.lfilter(taps, [1.0], x.astype(np.float64))
+        assert snr(ref, y) >= 80.0
+
+    def test_odd_length_tail(self, taps, snr):
+        rng = np.random.default_rng(15)
+        x = rng.standard_normal(10007).astype(np.float32)
+        y = np.asarray(lz.fir_filter(x, taps, method="ols", spectral="fused"))
+        ref = ss.lfilter(taps, [1.0], x.astype(np.float64))
+        assert snr(ref, y) >= 80.0
