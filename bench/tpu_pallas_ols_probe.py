@@ -1,10 +1,4 @@
-"""Probe: fused matmul OLS vs generic fft OLS on the real TPU chip.
-
-Times FIR-only and the full FIR+resample chain step for each spectral
-engine / nfft / matmul precision, using the on-device lax.scan loop
-pattern (host dispatch through the tunnel is ~300 ms/call, so every
-measurement is one dispatch).
-"""
+"""Probe: fully-fused Pallas OLS kernel vs XLA engines on the real TPU."""
 import sys, os, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
@@ -48,34 +42,29 @@ def bench(name, step, s0, iters=10, check=None):
         snr = f"  SNR {10*np.log10(np.sum(ref**2)/np.sum((ref-ours)**2)):.1f} dB"
     log(f"{name}: {dt*1e3:.2f} ms/step -> {C*T/dt/1e6:.0f} Msps (compile {comp:.0f}s){snr}")
 
-def fir_step(nfft, spectral):
-    h = fir_state_len(1024, nfft)
+def fir_step():
+    h = fir_state_len(1024, 32768)
     def step(v, st):
-        y, zf = lz.fir_filter(v, taps, method="ols", nfft=nfft,
-                              spectral=spectral, zi=st, return_zf=True)
+        y, zf = lz.fir_filter(v, taps, method="ols", spectral="pallas",
+                              zi=st, return_zf=True)
         return y, zf
     return step, jnp.zeros((C, h), jnp.float32)
 
-def chain_step(nfft, spectral):
-    h = fir_state_len(1024, nfft)
+def chain_step():
+    h = fir_state_len(1024, 32768)
     def step(v, st):
         f, r = st
-        y, zf = lz.fir_filter(v, taps, method="ols", nfft=nfft,
-                              spectral=spectral, zi=f, return_zf=True)
+        y, zf = lz.fir_filter(v, taps, method="ols", spectral="pallas",
+                              zi=f, return_zf=True)
         z, zr = lz.resample_poly(y, 147, 160, taps=rtaps, zi=r, return_zf=True)
         return z, (zf, zr)
     return step, (jnp.zeros((C, h), jnp.float32), jnp.zeros((C, 63), jnp.float32))
 
 for prec in ("highest", "high"):
     os.environ["LLZ_MATMUL_PRECISION"] = prec
-    jax.clear_caches()  # precision is read at trace time; force retrace
-    for nfft in (4096, 8192):
-        s, st = fir_step(nfft, "fused")
-        bench(f"[{prec}] fir fused nfft={nfft}", s, st, check=y64)
-    s, st = fir_step(4096, "fft")
-    bench(f"[{prec}] fir fft   nfft=4096", s, st, check=y64)
-    s, st = chain_step(4096, "fused")
-    bench(f"[{prec}] chain fused nfft=4096", s, st, check=z64)
-    s, st = chain_step(4096, "fft")
-    bench(f"[{prec}] chain fft   nfft=4096", s, st, check=z64)
+    jax.clear_caches()
+    s, st = fir_step()
+    bench(f"[{prec}] fir pallas nfft=32768", s, st, check=y64)
+    s, st = chain_step()
+    bench(f"[{prec}] chain pallas nfft=32768", s, st, check=z64)
 log("done")

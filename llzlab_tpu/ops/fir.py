@@ -266,6 +266,29 @@ def _fir_filter_fused_impl(x, tables, zi, *, nfft: int, hlen: int,
     return y, zf
 
 
+@functools.partial(jax.jit, static_argnames=("hlen", "return_zf"))
+def _fir_filter_pallas_impl(x, tables, zi, *, hlen: int, return_zf: bool):
+    """Overlap-save via the fully-fused Pallas kernel (kernels/ols_fused)."""
+    from llzlab_tpu.kernels import ols_fused as _of
+
+    shape = x.shape
+    t = shape[-1]
+    xb = x.reshape(-1, t)
+    b = xb.shape[0]
+    if zi is None:
+        hist = jnp.zeros((b, hlen), dtype=jnp.float32)
+    else:
+        hist = zi.reshape(b, hlen).astype(jnp.float32)
+    xpad = jnp.concatenate([hist, xb.astype(jnp.float32)], axis=-1)
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    y = _of._ols_pallas_jit(xpad, tables, hlen, interpret).astype(x.dtype)
+    y = y.reshape(shape)
+    if not return_zf:
+        return y
+    zf = xpad[:, -hlen:].astype(x.dtype).reshape(shape[:-1] + (hlen,))
+    return y, zf
+
+
 def fir_filter(
     x: jnp.ndarray,
     taps,
@@ -326,8 +349,26 @@ def fir_filter(
             return_zf=return_zf,
         )
 
-    if spectral not in ("auto", "fused", "fft"):
+    if spectral not in ("auto", "fused", "fft", "pallas"):
         raise ValueError(f"unknown spectral engine {spectral!r}")
+    if spectral == "pallas":
+        from llzlab_tpu.kernels import ols_fused as _of
+
+        if nfft != _of.NFFT and nfft != default_nfft(ntaps):
+            raise ValueError(
+                f"spectral='pallas' is fixed at nfft={_of.NFFT}"
+            )
+        nfft = _of.NFFT
+        hlen = nfft - ols_hop(ntaps, nfft)
+        if taps_host is None or hlen % 256 or (hlen // 2) % 128:
+            raise ValueError(
+                "spectral='pallas' needs host-concrete taps and "
+                "hist/2 a multiple of 128"
+            )
+        return _fir_filter_pallas_impl(
+            x, tuple(_of.ols_pallas_tables(taps_host)), zi,
+            hlen=hlen, return_zf=return_zf,
+        )
     hlen = nfft - ols_hop(ntaps, nfft)
     if spectral == "auto":
         # Measured on v5e (bench/tpu_fused_probe.py): the fft engine wins

@@ -163,18 +163,23 @@ def _frame_half(x: jnp.ndarray, flen: int, hop: int, nframes: int) -> jnp.ndarra
     return jnp.concatenate(parts, axis=-1)[:, :, :flen]
 
 
-def _sigma_cd(zr: jnp.ndarray, zi: jnp.ndarray):
-    """conj(Z[σk]) in (c, z, d) layout; σk = (half−k) mod half, k = n1·d+c.
+def _sigma_cd(zr: jnp.ndarray, zi: jnp.ndarray, c_axis: int = 0):
+    """conj(Z[σk]); σk = (half−k) mod half, k = n1·d+c; d is the last axis.
 
     In (c, d) coordinates: row c=0 maps d→(n2−d) mod n2; rows c≥1 map
     (c, d)→(n1−c, n2−1−d).  Pure slices + reverses — no gather.
+    ``c_axis`` selects the axis holding c (0 for (c, z, d) layout,
+    1 for (z, c, d) layout).
     """
 
     def perm(t):
-        r0 = t[:1]
-        r0f = jnp.concatenate([r0[..., :1], jnp.flip(r0[..., 1:], -1)], -1)
-        rf = jnp.flip(jnp.flip(t[1:], 0), -1)
-        return jnp.concatenate([r0f, rf], 0)
+        r0 = jax.lax.slice_in_dim(t, 0, 1, axis=c_axis)
+        r0f = jnp.concatenate(
+            [r0[..., :1], jnp.flip(r0[..., 1:], -1)], -1
+        )
+        rest = jax.lax.slice_in_dim(t, 1, t.shape[c_axis], axis=c_axis)
+        rf = jnp.flip(jnp.flip(rest, c_axis), -1)
+        return jnp.concatenate([r0f, rf], c_axis)
 
     return perm(zr), -perm(zi)
 
@@ -185,12 +190,20 @@ def _matmul_kw():
     )
 
 
-def _ols_core(xe, xo, tb):
+def _ols_core(xe, xo, tb, orientation: str = "batch"):
     """Packed frames (z, n1, n2) even/odd → filtered packed frames.
 
     xe/xo: (z, n1, n2) real arrays holding z[m] = x[2m] + j·x[2m+1]
     reshaped with the packed time index m = n2·a + b.
     Returns (ye, yo) in the same layout.
+
+    ``orientation`` picks the einsum layout family:
+      * "batch": z stays the leading batch axis throughout — the layout
+        XLA's TPU dot emitter handles best (measured 2× faster than
+        "transposed" on v5e despite identical FLOPs).
+      * "transposed": spectra travel as (c, z, d) with the DFT axis
+        leading — big single matmuls on paper, but XLA inserts costly
+        relayout copies around every convolution.
     """
     F1r, F1i = (jnp.asarray(t) for t in tb["F1"])
     F2r, F2i = (jnp.asarray(t) for t in tb["F2"])
@@ -206,35 +219,52 @@ def _ols_core(xe, xo, tb):
         ir = jnp.einsum(eq, ai, br, **kw)
         return rr - ii, ri + ir
 
-    # Forward stage 1: Y[c, z, b] = Σ_a F1[c, a] · M[z, a, b]
-    yr, yi = cmm("ca,zab->czb", F1r, F1i, xe, xo)
-    # Twiddle (c, 1, b)
-    tr, ti = Twr[:, None, :], Twi[:, None, :]
+    if orientation == "transposed":
+        # Forward stage 1: Y[c, z, b] = Σ_a F1[c, a] · M[z, a, b]
+        yr, yi = cmm("ca,zab->czb", F1r, F1i, xe, xo)
+        tr, ti = Twr[:, None, :], Twi[:, None, :]
+        zr = yr * tr - yi * ti
+        zi = yr * ti + yi * tr
+        # Forward stage 2: X2[c, z, d] = Σ_b Z[c, z, b] · F2[b, d]
+        x2r, x2i = cmm("czb,bd->czd", zr, zi, F2r, F2i)
+        sr, si = _sigma_cd(x2r, x2i, c_axis=0)
+        ar_, ai_ = Ar[:, None, :], Ai[:, None, :]
+        br_, bi_ = Br[:, None, :], Bi[:, None, :]
+        zpr = ar_ * x2r - ai_ * x2i + br_ * sr - bi_ * si
+        zpi = ar_ * x2i + ai_ * x2r + br_ * si + bi_ * sr
+        # Inverse stage 2 (F2 symmetric ⇒ conj(F2)ᵀ = conj(F2)); 1/half
+        # already folded into A/B.
+        icr, ici = cmm("czd,db->czb", zpr, zpi, F2r, -F2i)
+        wr = icr * tr + ici * ti
+        wi = ici * tr - icr * ti
+        # Inverse stage 1: M[z, a, b] = Σ_c conj(F1[c, a]) · W[c, z, b]
+        ye, yo = cmm("ca,czb->zab", F1r, -F1i, wr, wi)
+        return ye, yo
+
+    # "batch" orientation: (z, ·, ·) leading everywhere.
+    # Forward stage 1: Y[z, c, b] = Σ_a F1[c, a] · M[z, a, b]
+    yr, yi = cmm("ca,zab->zcb", F1r, F1i, xe, xo)
+    tr, ti = Twr[None, :, :], Twi[None, :, :]
     zr = yr * tr - yi * ti
     zi = yr * ti + yi * tr
-    # Forward stage 2: X2[c, z, d] = Σ_b Z[c, z, b] · F2[b, d]
-    x2r, x2i = cmm("czb,bd->czd", zr, zi, F2r, F2i)
-
-    # Per-bin combine: Z' = A·Z + B·conj(Z[σ])   (H baked into A/B)
-    sr, si = _sigma_cd(x2r, x2i)
-    ar_, ai_ = Ar[:, None, :], Ai[:, None, :]
-    br_, bi_ = Br[:, None, :], Bi[:, None, :]
+    # Forward stage 2: X2[z, c, d] = Σ_b Z[z, c, b] · F2[b, d]
+    x2r, x2i = cmm("zcb,bd->zcd", zr, zi, F2r, F2i)
+    sr, si = _sigma_cd(x2r, x2i, c_axis=1)
+    ar_, ai_ = Ar[None, :, :], Ai[None, :, :]
+    br_, bi_ = Br[None, :, :], Bi[None, :, :]
     zpr = ar_ * x2r - ai_ * x2i + br_ * sr - bi_ * si
     zpi = ar_ * x2i + ai_ * x2r + br_ * si + bi_ * sr
-
-    # Inverse stage 2: Zc[c, z, b] = Σ_d Z'[c, z, d] · conj(F2[b, d])
-    # (F2 symmetric ⇒ conj(F2)ᵀ = conj(F2)); 1/half already in A/B.
-    icr, ici = cmm("czd,db->czb", zpr, zpi, F2r, -F2i)
-    # Inverse twiddle
+    icr, ici = cmm("zcd,db->zcb", zpr, zpi, F2r, -F2i)
     wr = icr * tr + ici * ti
     wi = ici * tr - icr * ti
-    # Inverse stage 1: M[z, a, b] = Σ_c conj(F1[c, a]) · W[c, z, b]
-    ye, yo = cmm("ca,czb->zab", F1r, -F1i, wr, wi)
+    # Inverse stage 1: M[z, a, b] = Σ_c conj(F1[c, a]) · W[z, c, b]
+    ye, yo = cmm("ca,zcb->zab", F1r, -F1i, wr, wi)
     return ye, yo
 
 
-@functools.partial(jax.jit, static_argnames=("nfft", "hist"))
-def _ols_filter_matmul_jit(x, tb, nfft: int, hist: int):
+@functools.partial(jax.jit, static_argnames=("nfft", "hist", "orientation"))
+def _ols_filter_matmul_jit(x, tb, nfft: int, hist: int,
+                           orientation: str = "batch"):
     half = nfft // 2
     hop = nfft - hist
     b, tp = x.shape
@@ -249,7 +279,8 @@ def _ols_filter_matmul_jit(x, tb, nfft: int, hist: int):
     n1, n2 = split_factors(half)
     z = b * nframes
     ye, yo = _ols_core(
-        frames_e.reshape(z, n1, n2), frames_o.reshape(z, n1, n2), tb
+        frames_e.reshape(z, n1, n2), frames_o.reshape(z, n1, n2), tb,
+        orientation,
     )
     # Discard wrap-around (first hist samples = hist/2 packed), interleave.
     ye = ye.reshape(z, half)[:, hist // 2 :]
@@ -258,7 +289,8 @@ def _ols_filter_matmul_jit(x, tb, nfft: int, hist: int):
     return y[:, :t]
 
 
-def ols_filter_matmul(x: jnp.ndarray, tables, nfft: int, hist: int):
+def ols_filter_matmul(x: jnp.ndarray, tables, nfft: int, hist: int,
+                      orientation: str = "batch"):
     """Overlap-save on (B, hist+T) pre-padded input → (B, T) output.
 
     Drop-in replacement for the generic rfft/irfft overlap-save body
@@ -266,4 +298,4 @@ def ols_filter_matmul(x: jnp.ndarray, tables, nfft: int, hist: int):
     Requires ``nfft`` a power of two with ``nfft/2`` ≥ 16, and even
     ``hist``/``hop`` (guaranteed by ``ols_hop``'s power-of-two rounding).
     """
-    return _ols_filter_matmul_jit(x, tables, nfft, hist)
+    return _ols_filter_matmul_jit(x, tables, nfft, hist, orientation)
