@@ -37,6 +37,9 @@ def main():
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--fir-method", default="ols", choices=["ols", "direct"])
+    p.add_argument("--spectral", default="auto",
+                   choices=["auto", "fft", "fused", "pallas"],
+                   help="overlap-save spectral engine (auto picks per backend)")
     args = p.parse_args()
 
     import jax
@@ -72,7 +75,11 @@ def main():
     x_np = rng.standard_normal((C, T)).astype(np.float32)
     x = jax.device_put(jnp.asarray(x_np), dev)
 
-    hlen = fir_mod.fir_state_len(1024, method=args.fir_method)
+    spectral = args.spectral
+    nfft = None
+    if spectral == "pallas":
+        nfft = 32768
+    hlen = fir_mod.fir_state_len(1024, nfft, method=args.fir_method)
     k = len(rtaps) // 147
 
     import functools
@@ -80,7 +87,8 @@ def main():
     @jax.jit
     def step(x, fir_st, rs_st):
         y, zf1 = lz.fir_filter(
-            x, taps, method=args.fir_method, zi=fir_st, return_zf=True
+            x, taps, method=args.fir_method, nfft=nfft, spectral=spectral,
+            zi=fir_st, return_zf=True
         )
         z, zf2 = lz.resample_poly(y, 147, 160, taps=rtaps, zi=rs_st,
                                   return_zf=True)
@@ -155,6 +163,7 @@ def main():
         "backend": jax.default_backend(),
         "device": dev.device_kind,
         "fir_method": args.fir_method,
+        "spectral": spectral,
     }
     print(json.dumps(out), flush=True)
 

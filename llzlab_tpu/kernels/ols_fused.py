@@ -6,22 +6,30 @@ inner loop (``llz_fir.c``; mount empty — spec anchor BASELINE.json:5
 
 The XLA engines (ops/fir.py "fft"/"fused") round-trip every intermediate
 (packed spectra, twiddled stages, untangle products) through HBM — ~10
-full passes over an 84 MB working set per step, which caps the chain at
-~1.6 Gsamples/s on v5e.  This kernel keeps one frame's entire spectral
-pipeline in VMEM:
+full passes over an 84 MB working set per step.  This kernel keeps one
+batch of frames' entire spectral pipeline in VMEM:
 
-  frame → four-step DFT → per-bin combine Z' = A·Z + B·conj(Z[σ]) →
+  frames → four-step DFT → per-bin combine Z' = A·Z + B·conj(Z[σ]) →
   inverse four-step → valid samples out
 
-with nfft = 32768 chosen so the packed half-size transform is exactly
-16384 = 128·128: every stage is a native (128,128)@(128,128) MXU dot
-per frame, the σ flip+roll is pure VPU lane/sublane moves, and the
-wrap-around discard (hist = 1024 reals = 512 packed = 4 rows) is a
-whole-row slice.  HBM traffic: one read of the framed signal, one write
-of the valid samples — speed-of-light for this op.
+nfft = 32768 makes the packed half-size transform exactly 16384 =
+128·128, so with ``zt`` frames per grid step every stage is one
+(128,128) @ (128, zt·128) MXU matmul (or its tall (zt·128,128) @
+(128,128) dual).  Mosaic-specific shape discipline, learned the hard
+way (bench/tpu_pallas_ols_probe.py history):
 
-Tables (DFT matrices, twiddles, A/B combine) are f64-derived on host by
-``ols_matmul.ols_tables``-style probing; H is baked into A/B.
+  * per-frame 128³ dots starve the MXU (324 Msps) — batch frames into
+    the non-contracted dim;
+  * ``lax.rev`` has no Mosaic lowering and 3-D reshapes blow VMEM —
+    the σ permutation is instead *folded into the tables*: a second
+    stage-1/stage-2 branch with host-premultiplied (P_c·F1, P_c·Tw,
+    F2·J) gives σ(X2) directly, up to one lane-roll on the c = 0 row;
+  * everything in the kernel is strictly 2-D; the wide (c, f·b) ↔ tall
+    (f·c, b) layout change between stages is zt slices + a concat.
+
+Tables are f64-derived on host; H is baked into the A/B combine tables
+(``ols_matmul._combine_coeffs`` probe).  HBM traffic: one read of the
+framed signal, one write of the valid samples.
 """
 
 from __future__ import annotations
@@ -36,17 +44,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from llzlab_tpu.ops.ols_matmul import _combine_coeffs
-from llzlab_tpu.ops.transform import matmul_precision
 
 __all__ = ["ols_pallas_tables", "ols_filter_pallas", "NFFT", "HALF", "N"]
 
 NFFT = 32768
 HALF = NFFT // 2
 N = 128  # n1 = n2 = sqrt(HALF)
+ZT = 8   # frames per grid step
 
 
 @functools.lru_cache(maxsize=8)
-def _tables_cached(taps_bytes: bytes, nfft: int):
+def _tables_cached(taps_bytes: bytes, nfft: int, zt: int):
     assert nfft == NFFT
     taps = np.frombuffer(taps_bytes, np.float64)
     a = np.arange(N)
@@ -57,37 +65,43 @@ def _tables_cached(taps_bytes: bytes, nfft: int):
     Acd = (A / HALF)[k]
     Bcd = (B / HALF)[k]
 
+    # σ support: P_c[c', c] = 1 iff c = (N−c') mod N;  J = anti-identity.
+    Pc = np.zeros((N, N))
+    Pc[a, (N - a) % N] = 1.0
+    J = np.zeros((N, N))
+    J[a, N - 1 - a] = 1.0
+    F1p = Pc @ F1
+    Twp = Pc @ Tw
+    F2J = F1 @ J
+
     def pack(m):
         return np.stack(
             [m.real.astype(np.float32), m.imag.astype(np.float32)], -1
         )
 
+    wideTw = np.tile(Tw, (1, zt))        # (N, zt·N): col f·N+b ↦ Tw[c,b]
+    wideTwp = np.tile(Twp, (1, zt))
+    tallA = np.tile(Acd, (zt, 1))        # (zt·N, N): row f·N+c ↦ A[c,d]
+    tallB = np.tile(Bcd, (zt, 1))
+
     with jax.ensure_compile_time_eval():
         return tuple(
-            jnp.asarray(pack(m)) for m in (F1, Tw, Acd, Bcd)
+            jnp.asarray(pack(m))
+            for m in (F1, F1p, F2J, wideTw, wideTwp, tallA, tallB)
         )
 
 
-def ols_pallas_tables(taps) -> Tuple[jnp.ndarray, ...]:
-    """(F1, Tw, A, B) device tables, each (128, 128, 2), for nfft=32768."""
+def ols_pallas_tables(taps, zt: int = ZT) -> Tuple[jnp.ndarray, ...]:
+    """Device tables for :func:`ols_filter_pallas` (nfft = 32768)."""
     taps = np.asarray(jax.device_get(taps), np.float64)
     if len(taps) > HALF:
         raise ValueError("taps longer than nfft/2")
-    return _tables_cached(taps.tobytes(), NFFT)
+    return _tables_cached(taps.tobytes(), NFFT, zt)
 
 
-def _sigma(t):
-    """t[(HALF − k) mod HALF] for k = N·d + c laid out as t[c, d]."""
-    row = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
-    # H[c, d] = t[c, (N−d) mod N];  base rows c≥1: flip both axes, rolled.
-    h = pltpu.roll(jnp.flip(t, 1), 1, axis=1)
-    g = pltpu.roll(jnp.flip(jnp.flip(t, 0), 1), 1, axis=0)
-    return jnp.where(row == 0, h, g)
-
-
-def _kernel(hist2_rows, x_e_ref, x_o_ref, f1_ref, tw_ref, a_ref, b_ref,
-            ye_ref, yo_ref):
-    prec = matmul_precision()
+def _kernel(hist2_rows, zt, xe_ref, xo_ref, f1_ref, f1p_ref, f2j_ref,
+            tw_ref, twp_ref, a_ref, b_ref, ye_ref, yo_ref):
+    prec = jax.lax.Precision.HIGHEST  # Mosaic supports DEFAULT|HIGHEST only
 
     def dot(a, b):
         return jax.lax.dot_general(
@@ -95,48 +109,78 @@ def _kernel(hist2_rows, x_e_ref, x_o_ref, f1_ref, tw_ref, a_ref, b_ref,
             preferred_element_type=jnp.float32, precision=prec,
         )
 
+    def cdot_l(tr, ti, mr, mi):  # table @ M, complex
+        return dot(tr, mr) - dot(ti, mi), dot(tr, mi) + dot(ti, mr)
+
+    def cdot_r(mr, mi, tr, ti):  # M @ table, complex
+        return dot(mr, tr) - dot(mi, ti), dot(mr, ti) + dot(mi, tr)
+
+    def cmul(ar, ai, br, bi):
+        return ar * br - ai * bi, ar * bi + ai * br
+
+    def wide_to_tall(w):  # (N, zt·N) cols (f,b) → (zt·N, N) rows (f,c)
+        return jnp.concatenate(
+            [w[:, f * N : (f + 1) * N] for f in range(zt)], axis=0
+        )
+
+    def tall_to_wide(t):
+        return jnp.concatenate(
+            [t[f * N : (f + 1) * N, :] for f in range(zt)], axis=1
+        )
+
     f1r, f1i = f1_ref[:, :, 0], f1_ref[:, :, 1]
+    f1pr, f1pi = f1p_ref[:, :, 0], f1p_ref[:, :, 1]
+    f2jr, f2ji = f2j_ref[:, :, 0], f2j_ref[:, :, 1]
     twr, twi = tw_ref[:, :, 0], tw_ref[:, :, 1]
-    ar, ai = a_ref[:, :, 0], a_ref[:, :, 1]
-    br, bi = b_ref[:, :, 0], b_ref[:, :, 1]
+    twpr, twpi = twp_ref[:, :, 0], twp_ref[:, :, 1]
+    ar_, ai_ = a_ref[:, :, 0], a_ref[:, :, 1]
+    br_, bi_ = b_ref[:, :, 0], b_ref[:, :, 1]
 
-    mr = x_e_ref[0]  # (128, 128): packed frame real part, m = 128·a + b
-    mi = x_o_ref[0]
+    # Input frames (zt, N, N) → wide (N, zt·N): M[a, f·N + b].
+    mr = jnp.concatenate([xe_ref[f] for f in range(zt)], axis=1)
+    mi = jnp.concatenate([xo_ref[f] for f in range(zt)], axis=1)
 
-    # Forward stage 1: Y = F1 @ M    (contraction over a = rows of M)
-    yr = dot(f1r, mr) - dot(f1i, mi)
-    yi = dot(f1r, mi) + dot(f1i, mr)
-    # Twiddle
-    zr = yr * twr - yi * twi
-    zi = yr * twi + yi * twr
-    # Forward stage 2: X2 = Z @ F2   (F2 = F1; contraction over b = cols)
-    x2r = dot(zr, f1r) - dot(zi, f1i)
-    x2i = dot(zr, f1i) + dot(zi, f1r)
+    # Forward stage 1 (wide, c-side): Y = F1 @ M; σ branch Yp = (P_c F1) @ M
+    yr, yi = cdot_l(f1r, f1i, mr, mi)
+    ypr, ypi = cdot_l(f1pr, f1pi, mr, mi)
+    # Twiddle (wide)
+    zr, zi = cmul(yr, yi, twr, twi)
+    zpr, zpi = cmul(ypr, ypi, twpr, twpi)
+    # Stage 2 (tall, d-side): X2 = Z @ F2;  X2p = Zp @ (F2 J)
+    tzr, tzi = wide_to_tall(zr), wide_to_tall(zi)
+    tzpr, tzpi = wide_to_tall(zpr), wide_to_tall(zpi)
+    x2r, x2i = cdot_r(tzr, tzi, f1r, f1i)
+    x2pr, x2pi = cdot_r(tzpr, tzpi, f2jr, f2ji)
 
-    # Per-bin combine with conj(Z[σ]): Z' = A·Z + B·conj(Zσ)
-    sr = _sigma(x2r)
-    si = _sigma(x2i)
-    zpr = ar * x2r - ai * x2i + br * sr + bi * si
-    zpi = ar * x2i + ai * x2r + bi * sr - br * si
+    # σ(X2) = X2p, except the c = 0 row of every frame needs a d-roll by 1.
+    row = jax.lax.broadcasted_iota(jnp.int32, (zt * N, N), 0)
+    first = (row % N) == 0
+    sr = jnp.where(first, pltpu.roll(x2pr, 1, axis=1), x2pr)
+    si = jnp.where(first, pltpu.roll(x2pi, 1, axis=1), x2pi)
 
-    # Inverse stage 2: W = Z' @ conj(F2)
-    wr = dot(zpr, f1r) + dot(zpi, f1i)
-    wi = dot(zpi, f1r) - dot(zpr, f1i)
-    # Inverse twiddle
-    vr = wr * twr + wi * twi
-    vi = wi * twr - wr * twi
-    # Inverse stage 1: M' = conj(F1) @ V   (1/HALF already in A/B)
-    or_ = dot(f1r, vr) + dot(f1i, vi)
-    oi_ = dot(f1r, vi) - dot(f1i, vr)
+    # Per-bin combine: Z' = A·X2 + B·conj(σ(X2))   (H baked into A/B)
+    zr2 = ar_ * x2r - ai_ * x2i + br_ * sr + bi_ * si
+    zi2 = ar_ * x2i + ai_ * x2r + bi_ * sr - br_ * si
 
-    # Valid samples: drop the first hist/2 packed samples = whole rows.
-    ye_ref[0] = or_[hist2_rows:, :]
-    yo_ref[0] = oi_[hist2_rows:, :]
+    # Inverse stage 2 (tall): W = Z' @ conj(F2)
+    wr, wi = cdot_r(zr2, zi2, f1r, -f1i)
+    # Inverse twiddle (wide) + inverse stage 1: M' = conj(F1) @ V
+    wwr, wwi = tall_to_wide(wr), tall_to_wide(wi)
+    vr, vi = cmul(wwr, wwi, twr, -twi)
+    or_, oi_ = cdot_l(f1r, -f1i, vr, vi)
+
+    # Valid samples: drop hist/2 packed = first hist2_rows a-rows; emit
+    # per-frame (rows_out, N) even/odd blocks (interleave happens in XLA —
+    # a trailing (…, 2) block here would tile with lane dim 2 and waste
+    # 64× VMEM).
+    for f in range(zt):
+        ye_ref[f] = or_[hist2_rows:, f * N : (f + 1) * N]
+        yo_ref[f] = oi_[hist2_rows:, f * N : (f + 1) * N]
 
 
-@functools.partial(jax.jit, static_argnames=("hist", "interpret"))
-def _ols_pallas_jit(x, tables, hist: int, interpret: bool):
-    f1, tw, acd, bcd = tables
+@functools.partial(jax.jit, static_argnames=("hist", "interpret", "zt"))
+def _ols_pallas_jit(x, tables, hist: int, interpret: bool, zt: int = ZT):
+    f1, f1p, f2j, tw, twp, acd, bcd = tables
     hop = NFFT - hist
     hop2 = hop // 2
     hist2 = hist // 2
@@ -148,8 +192,12 @@ def _ols_pallas_jit(x, tables, hist: int, interpret: bool):
     pad_tail = hist + nframes * hop - tp
     xp = jnp.pad(x, ((0, 0), (0, pad_tail))).astype(jnp.float32)
     v = xp.reshape(b, (tp + pad_tail) // 2, 2)
+    z = b * nframes
+    zt = min(zt, z)
+    zpad = (-z) % zt
+    zp = z + zpad
 
-    def frame(sig):  # (B, Th) -> (B·F, 128, 128)
+    def frame(sig):  # (B, Th) -> (B·F(+pad), N, N) packed frames
         nblk = -(-HALF // hop2)
         need = (nframes - 1 + nblk) * hop2
         if sig.shape[1] < need:
@@ -161,45 +209,52 @@ def _ols_pallas_jit(x, tables, hist: int, interpret: bool):
             for e in range(nblk)
         ]
         fr = jnp.concatenate(parts, axis=-1)[:, :, :HALF]
-        return fr.reshape(b * nframes, N, N)
+        fr = fr.reshape(z, N, N)
+        if zpad:
+            fr = jnp.pad(fr, ((0, zpad), (0, 0), (0, 0)))
+        return fr
 
     fe = frame(v[:, :, 0])
     fo = frame(v[:, :, 1])
-    z = b * nframes
 
-    tbl_spec = pl.BlockSpec(
-        (N, N, 2), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
-    )
-    ye, yo = pl.pallas_call(
-        functools.partial(_kernel, hist2 // N),
-        grid=(z,),
+    def tbl(shape):
+        return pl.BlockSpec(
+            shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+
+    y = pl.pallas_call(
+        functools.partial(_kernel, hist2 // N, zt),
+        grid=(zp // zt,),
         in_specs=[
-            pl.BlockSpec((1, N, N), lambda i: (i, 0, 0),
+            pl.BlockSpec((zt, N, N), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, N), lambda i: (i, 0, 0),
+            pl.BlockSpec((zt, N, N), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            tbl_spec, tbl_spec, tbl_spec, tbl_spec,
+            tbl((N, N, 2)), tbl((N, N, 2)), tbl((N, N, 2)),
+            tbl((N, zt * N, 2)), tbl((N, zt * N, 2)),
+            tbl((zt * N, N, 2)), tbl((zt * N, N, 2)),
         ],
         out_specs=[
-            pl.BlockSpec((1, rows_out, N), lambda i: (i, 0, 0),
+            pl.BlockSpec((zt, rows_out, N), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows_out, N), lambda i: (i, 0, 0),
+            pl.BlockSpec((zt, rows_out, N), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((z, rows_out, N), jnp.float32),
-            jax.ShapeDtypeStruct((z, rows_out, N), jnp.float32),
+            jax.ShapeDtypeStruct((zp, rows_out, N), jnp.float32),
+            jax.ShapeDtypeStruct((zp, rows_out, N), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(fe, fo, f1, tw, acd, bcd)
+    )(fe, fo, f1, f1p, f2j, tw, twp, acd, bcd)
 
-    ye = ye.reshape(b, nframes * hop2)
-    yo = yo.reshape(b, nframes * hop2)
-    y = jnp.stack([ye, yo], -1).reshape(b, nframes * hop)
-    return y[:, :t]
+    ye, yo = y
+    ye = ye[:z].reshape(b, nframes * hop2)
+    yo = yo[:z].reshape(b, nframes * hop2)
+    out = jnp.stack([ye, yo], -1).reshape(b, nframes * hop)
+    return out[:, :t]
 
 
 def ols_filter_pallas(x: jnp.ndarray, taps, hist: int, *,

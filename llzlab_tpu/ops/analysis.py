@@ -16,7 +16,7 @@ import numpy as np
 
 from llzlab_tpu.ops import spectral as _sp
 
-__all__ = ["freqz", "sosfreqz", "group_delay", "spectrogram"]
+__all__ = ["freqz", "sosfreqz", "group_delay", "spectrogram", "hilbert", "periodogram", "welch"]
 
 
 def freqz(
@@ -87,3 +87,102 @@ def spectrogram(
     if log:
         out = 10.0 * jnp.log10(jnp.maximum(out, eps))
     return out
+
+
+def hilbert(x: jnp.ndarray, n: Optional[int] = None) -> jnp.ndarray:
+    """Analytic signal via the frequency-domain Hilbert transform.
+
+    Matches ``scipy.signal.hilbert`` (one-sided spectrum doubling): the
+    returned complex signal has ``real == x`` and imag = H{x}.  Device op
+    on the full-size FFT (zero-padded/truncated to ``n``).
+    """
+    from llzlab_tpu.ops import transform as _tf
+
+    t = x.shape[-1]
+    n = n or t
+    spec = _tf.fft(x.astype(jnp.float32), n)
+    h = np.zeros(n, np.float32)
+    if n % 2 == 0:
+        h[0] = h[n // 2] = 1.0
+        h[1 : n // 2] = 2.0
+    else:
+        h[0] = 1.0
+        h[1 : (n + 1) // 2] = 2.0
+    return _tf.ifft(spec * jnp.asarray(h), n)
+
+
+def periodogram(
+    x: jnp.ndarray,
+    fs: float = 1.0,
+    *,
+    window: str = "boxcar",
+    nfft: Optional[int] = None,
+    detrend: bool = True,
+) -> Tuple[np.ndarray, jnp.ndarray]:
+    """Single-segment power spectral density, scipy semantics.
+
+    Returns ``(f, Pxx)`` with ``Pxx`` shaped ``(..., nfft//2+1)``,
+    density-scaled (V²/Hz).  ``window="boxcar"`` and mean detrending are
+    the scipy defaults.
+    """
+    from llzlab_tpu.ops import transform as _tf
+    from llzlab_tpu.ops.window import get_window
+
+    t = x.shape[-1]
+    nfft = nfft or t
+    x = x.astype(jnp.float32)
+    if detrend:
+        x = x - jnp.mean(x, axis=-1, keepdims=True)
+    if window in ("boxcar", "rect", None):
+        w = np.ones(t, np.float64)
+    else:
+        w = get_window(window, t, periodic=False)
+    xw = x * jnp.asarray(w.astype(np.float32))
+    spec = _tf.rfft(xw, nfft)
+    scale = 1.0 / (fs * float(np.sum(w**2)))
+    p = (jnp.abs(spec) ** 2) * scale
+    # one-sided doubling (all bins except DC and Nyquist-if-even)
+    dbl = np.full(nfft // 2 + 1, 2.0, np.float32)
+    dbl[0] = 1.0
+    if nfft % 2 == 0:
+        dbl[-1] = 1.0
+    f = np.fft.rfftfreq(nfft, 1.0 / fs)
+    return f, p * jnp.asarray(dbl)
+
+
+def welch(
+    x: jnp.ndarray,
+    fs: float = 1.0,
+    *,
+    nperseg: int = 256,
+    noverlap: Optional[int] = None,
+    window: str = "hann",
+    detrend: bool = True,
+) -> Tuple[np.ndarray, jnp.ndarray]:
+    """Welch PSD estimate (averaged modified periodograms), scipy semantics.
+
+    Device op built on the batched STFT frame path; requires the implied
+    hop ``nperseg − noverlap`` to divide ``nperseg`` (scipy's default
+    50 % overlap qualifies).  Returns ``(f, Pxx)``.
+    """
+    from llzlab_tpu.ops import transform as _tf
+    from llzlab_tpu.ops.window import get_window
+    from llzlab_tpu.ops.spectral import frame
+
+    noverlap = nperseg // 2 if noverlap is None else noverlap
+    hop = nperseg - noverlap
+    # scipy.get_window defaults to fftbins=True (periodic) inside welch
+    w = get_window(window, nperseg, periodic=True)
+    fr = frame(x.astype(jnp.float32), nperseg, hop)  # (..., nf, nperseg)
+    if detrend:
+        fr = fr - jnp.mean(fr, axis=-1, keepdims=True)
+    xw = fr * jnp.asarray(w.astype(np.float32))
+    spec = _tf.rfft(xw, nperseg)
+    scale = 1.0 / (fs * float(np.sum(w**2)))
+    p = (jnp.abs(spec) ** 2) * scale
+    dbl = np.full(nperseg // 2 + 1, 2.0, np.float32)
+    dbl[0] = 1.0
+    if nperseg % 2 == 0:
+        dbl[-1] = 1.0
+    f = np.fft.rfftfreq(nperseg, 1.0 / fs)
+    return f, jnp.mean(p * jnp.asarray(dbl), axis=-2)

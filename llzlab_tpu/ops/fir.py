@@ -200,6 +200,52 @@ def _ols_filter(x: jnp.ndarray, taps: jnp.ndarray, nfft: int, hist: int) -> jnp.
     return y.reshape(b, nframes * hop)[:, :t].astype(x.dtype)
 
 
+def _im2col_filter(x: jnp.ndarray, tap_mat: jnp.ndarray, block: int) -> jnp.ndarray:
+    """Direct convolution as one dense Toeplitz matmul on pre-padded input.
+
+    ``x (B, T + ntaps−1)`` (history prepended) → ``(B, T)``.  Each block of
+    ``block`` outputs consumes a slab of ``block + ntaps − 1`` inputs;
+    slabs are built from shifted hop-block reshapes (no gather) and hit
+    the MXU as ``(B·nblk, slab) @ (slab, block)`` — XLA's native 1-D conv
+    lowering is ~100× slower than this on TPU (SURVEY.md §2a row 4).
+    """
+    slab = tap_mat.shape[0]
+    ntaps = slab - block + 1
+    b, tp = x.shape
+    t = tp - (ntaps - 1)
+    nblk = -(-t // block)
+    nsub = -(-slab // block)
+    need = (nsub - 1 + nblk) * block
+    xp = jnp.pad(x, ((0, 0), (0, max(0, need - tp))))
+    parts = [
+        xp[:, e * block : (e + nblk) * block].reshape(b, nblk, block)
+        for e in range(nsub)
+    ]
+    slabs = jnp.concatenate(parts, axis=-1)[:, :, :slab]
+    y = jnp.einsum(
+        "bns,sj->bnj", slabs, tap_mat,
+        preferred_element_type=jnp.float32,
+        precision=_matmul_precision(),
+    )
+    return y.reshape(b, nblk * block)[:, :t]
+
+
+@functools.lru_cache(maxsize=16)
+def _toeplitz_cached(taps_bytes: bytes, block: int):
+    taps = np.frombuffer(taps_bytes, np.float64)
+    ntaps = len(taps)
+    slab = block + ntaps - 1
+    m = np.zeros((slab, block), np.float32)
+    for j in range(block):
+        m[j : j + ntaps, j] = taps[::-1]
+    with jax.ensure_compile_time_eval():
+        return jnp.asarray(m)
+
+
+def _toeplitz_matrix(taps: np.ndarray, block: int):
+    return _toeplitz_cached(taps.astype(np.float64).tobytes(), block)
+
+
 def _direct_filter(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
     """Direct convolution on pre-padded (B, T+ntaps-1) input via XLA conv."""
     ntaps = taps.shape[0]
@@ -259,6 +305,27 @@ def _fir_filter_fused_impl(x, tables, zi, *, nfft: int, hlen: int,
         hist = zi.reshape(b, hlen).astype(jnp.float32)
     xpad = jnp.concatenate([hist, xb.astype(jnp.float32)], axis=-1)
     y = _om.ols_filter_matmul(xpad, tables, nfft, hlen).astype(x.dtype)
+    y = y.reshape(shape)
+    if not return_zf:
+        return y
+    zf = xpad[:, -hlen:].astype(x.dtype).reshape(shape[:-1] + (hlen,))
+    return y, zf
+
+
+@functools.partial(jax.jit, static_argnames=("hlen", "block", "return_zf"))
+def _fir_filter_im2col_impl(x, tap_mat, zi, *, hlen: int, block: int,
+                            return_zf: bool):
+    """Direct FIR via the dense Toeplitz-matmul path (_im2col_filter)."""
+    shape = x.shape
+    t = shape[-1]
+    xb = x.reshape(-1, t)
+    b = xb.shape[0]
+    if zi is None:
+        hist = jnp.zeros((b, hlen), dtype=jnp.float32)
+    else:
+        hist = zi.reshape(b, hlen).astype(jnp.float32)
+    xpad = jnp.concatenate([hist, xb.astype(jnp.float32)], axis=-1)
+    y = _im2col_filter(xpad, tap_mat, block).astype(x.dtype)
     y = y.reshape(shape)
     if not return_zf:
         return y
@@ -337,12 +404,19 @@ def fir_filter(
         # short filters on CPU.
         on_tpu = jax.default_backend() in ("tpu", "axon")
         method = "ols" if (on_tpu or ntaps > 128) else "direct"
-    if method not in ("ols", "direct"):
+    if method not in ("ols", "direct", "im2col"):
         raise ValueError(f"unknown method {method!r}")
     if nfft is None:
         nfft = default_nfft(ntaps)
     if nfft < 2 * ntaps:
         raise ValueError(f"nfft={nfft} too small for ntaps={ntaps}")
+    if method == "im2col":
+        if taps_host is None:
+            raise ValueError("method='im2col' needs host-concrete taps")
+        tap_mat = _toeplitz_matrix(taps_host, 256)
+        return _fir_filter_im2col_impl(
+            x, tap_mat, zi, hlen=ntaps - 1, block=256, return_zf=return_zf
+        )
     if method == "direct":
         return _fir_filter_impl(
             x, taps, zi, method="direct", nfft=nfft, hlen=ntaps - 1,

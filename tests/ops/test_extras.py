@@ -7,6 +7,7 @@ import scipy.signal as ss
 
 import llzlab_tpu as lz
 from llzlab_tpu.ops.analysis import freqz, group_delay, sosfreqz, spectrogram
+from llzlab_tpu.ops import analysis as lza
 from llzlab_tpu.ops.convolve import correlate, fftconvolve
 from llzlab_tpu.ops.iir import sosfiltfilt
 from llzlab_tpu.ops.resample import decimate
@@ -138,3 +139,31 @@ class TestLfilter:
         taps = ss.firwin(64, 0.3)
         ref = ss.lfilter(taps, [1.0], x.astype(np.float64))
         assert snr(ref, np.asarray(lfilter(taps, [1.0], x))) >= 110.0
+
+
+class TestPsdAndHilbert:
+    """hilbert / periodogram / welch vs scipy (ops/analysis.py)."""
+
+    def test_hilbert_matches_scipy(self, snr):
+        rng = np.random.default_rng(21)
+        x = rng.standard_normal(4096).astype(np.float32)
+        a = np.asarray(lza.hilbert(x))
+        b = ss.hilbert(x.astype(np.float64))
+        assert snr(b, a) >= 100.0
+        np.testing.assert_allclose(a.real, x, atol=1e-3)
+
+    def test_periodogram_matches_scipy(self, snr):
+        rng = np.random.default_rng(22)
+        x = rng.standard_normal(2048).astype(np.float32)
+        f1, p1 = lza.periodogram(x, fs=48000.0)
+        f2, p2 = ss.periodogram(x.astype(np.float64), fs=48000.0)
+        np.testing.assert_allclose(f1, f2)
+        assert snr(p2, np.asarray(p1)) >= 90.0
+
+    def test_welch_matches_scipy(self, snr):
+        rng = np.random.default_rng(23)
+        x = rng.standard_normal((3, 4096)).astype(np.float32)
+        f1, p1 = lza.welch(x, fs=48000.0, nperseg=256)
+        f2, p2 = ss.welch(x.astype(np.float64), fs=48000.0, nperseg=256)
+        np.testing.assert_allclose(f1, f2)
+        assert snr(p2, np.asarray(p1)) >= 90.0
