@@ -29,11 +29,16 @@ from llzlab_tpu.ops import (  # noqa: F401
     fir_filter,
     butter_sos,
     cheby1_sos,
+    cheby2_sos,
+    ellip_sos,
+    bessel_sos,
+    iirfilter_sos,
     peaking_eq_sos,
     rbj_biquad,
     sosfilt,
     resample_poly,
     resample_taps,
+    fir_resample,
     get_window,
 )
 from llzlab_tpu.pipeline import Chain  # noqa: F401

@@ -26,9 +26,21 @@ from llzlab_tpu.ops.fir import (  # noqa: F401
 from llzlab_tpu.ops.iir import (  # noqa: F401
     butter_sos,
     cheby1_sos,
+    cheby2_sos,
+    ellip_sos,
+    bessel_sos,
+    iirfilter_sos,
+    buttord,
+    cheb1ord,
+    cheb2ord,
+    ellipord,
     peaking_eq_sos,
     rbj_biquad,
     sosfilt,
+)
+from llzlab_tpu.ops.fused_chain import (  # noqa: F401
+    fir_resample,
+    fir_resample_state_len,
 )
 from llzlab_tpu.ops.resample import (  # noqa: F401
     resample_poly,

@@ -37,6 +37,14 @@ from jax import lax
 __all__ = [
     "butter_sos",
     "cheby1_sos",
+    "cheby2_sos",
+    "ellip_sos",
+    "bessel_sos",
+    "iirfilter_sos",
+    "buttord",
+    "cheb1ord",
+    "cheb2ord",
+    "ellipord",
     "peaking_eq_sos",
     "shelf_sos",
     "rbj_biquad",
@@ -73,6 +81,166 @@ def _cheb1ap(n: int, rp: float):
     gain = np.real(np.prod(-p))
     if n % 2 == 0:
         gain /= np.sqrt(1.0 + eps * eps)
+    return np.array([]), p, gain
+
+
+def _cheb2ap(n: int, rs: float):
+    """Inverse-Chebyshev (type II) analog prototype: monotone passband,
+    equiripple stopband ``rs`` dB down, stopband edge at ω=1."""
+    de = 1.0 / np.sqrt(10.0 ** (rs / 10.0) - 1.0)
+    mu = np.arcsinh(1.0 / de) / n
+    k = np.arange(1, n + 1)
+    theta = np.pi * (2 * k - 1) / (2 * n)
+    # Type-I poles for the reciprocal filter, then invert into the stopband.
+    p1 = -np.sinh(mu) * np.sin(theta) + 1j * np.cosh(mu) * np.cos(theta)
+    p = 1.0 / p1
+    # Zeros where T_n(1/ω) = 0 → s = ±j/cos(θ_k); an odd order's middle
+    # node (θ = π/2, cos = 0) is the zero at infinity and is dropped.
+    if n % 2:
+        theta_z = np.delete(theta, n // 2)
+    else:
+        theta_z = theta
+    z = 1j / np.cos(theta_z)
+    gain = np.real(np.prod(-p) / np.prod(-z))
+    return z, p, gain
+
+
+# --- Jacobi elliptic machinery (Landen recursion; standard textbook math) --
+
+
+def _landen_seq(k: float, iters: int = 12) -> np.ndarray:
+    """Descending Landen sequence k → 0 (quadratic convergence)."""
+    ks = []
+    for _ in range(iters):
+        kp = np.sqrt(max(0.0, 1.0 - k * k))
+        k = (k / (1.0 + kp)) ** 2
+        ks.append(k)
+        if k < 1e-300:
+            break
+    return np.asarray(ks)
+
+
+def _ellipk(k: float) -> float:
+    """Complete elliptic integral of the first kind, modulus ``k``."""
+    return float(np.prod(1.0 + _landen_seq(k)) * np.pi / 2.0)
+
+
+def _cde(u, k: float):
+    """Jacobi ``cd(u·K(k), k)`` for normalized (possibly complex) ``u``."""
+    ks = _landen_seq(k)
+    w = np.cos(np.asarray(u) * np.pi / 2.0)
+    for kn in ks[::-1]:
+        w = (1.0 + kn) * w / (1.0 + kn * w * w)
+    return w
+
+
+def _sne(u, k: float):
+    """Jacobi ``sn(u·K(k), k)`` for normalized (possibly complex) ``u``."""
+    ks = _landen_seq(k)
+    w = np.sin(np.asarray(u) * np.pi / 2.0)
+    for kn in ks[::-1]:
+        w = (1.0 + kn) * w / (1.0 + kn * w * w)
+    return w
+
+
+def _asne(w, k: float):
+    """Inverse sn, normalized: returns ``u`` with ``sn(u·K, k) = w``."""
+    ks = np.concatenate([[k], _landen_seq(k)])
+    w = np.asarray(w, dtype=complex)
+    for n in range(1, len(ks)):
+        w = 2.0 * w / ((1.0 + ks[n]) * (1.0 + np.sqrt(1.0 - (ks[n - 1] * w) ** 2)))
+    return 2.0 / np.pi * np.arcsin(w)
+
+
+def _ellip_degree_k(n: int, k1: float) -> float:
+    """Solve the elliptic degree equation for the selectivity modulus ``k``
+    given order ``n`` and discrimination modulus ``k1`` via nome duality:
+    ``q = q1^(1/n)``, then ``k = (θ2(q)/θ3(q))²``."""
+    k1p = np.sqrt(1.0 - k1 * k1)
+    q1 = np.exp(-np.pi * _ellipk(k1p) / _ellipk(k1))
+    q = q1 ** (1.0 / n)
+    m = np.arange(1, 16)
+    theta2 = 2.0 * q**0.25 * (1.0 + np.sum(q ** (m * (m + 1))))
+    theta3 = 1.0 + 2.0 * np.sum(q ** (m * m))
+    return float((theta2 / theta3) ** 2)
+
+
+def _ellipap(n: int, rp: float, rs: float):
+    """Elliptic (Cauer) analog prototype: ``rp`` dB passband ripple,
+    ``rs`` dB stopband attenuation, passband edge at ω=1.
+
+    Zeros/poles via the Jacobi-cd rational characteristic (Landen
+    recursion); the degree equation fixes the transition selectivity.
+    """
+    if n == 1:
+        # Degenerates to a real pole at the rp-dB point.
+        p = -np.sqrt(1.0 / (10.0 ** (rp / 10.0) - 1.0))
+        return np.array([]), np.array([p], dtype=complex), -p
+    ep = np.sqrt(10.0 ** (rp / 10.0) - 1.0)
+    es = np.sqrt(10.0 ** (rs / 10.0) - 1.0)
+    k1 = ep / es
+    k = _ellip_degree_k(n, k1)
+    L, r = n // 2, n % 2
+    ui = (2.0 * np.arange(1, L + 1) - 1.0) / n
+    zeta = _cde(ui, k)  # real, in (0, 1)
+    za = 1j / (k * zeta)  # upper-half-plane zeros
+    v0 = float(np.real(-1j * _asne(1j / ep, k1) / n))
+    pa = 1j * _cde(ui - 1j * v0, k)  # upper-half-plane poles
+    z = np.concatenate([za, np.conj(za)])
+    p = np.concatenate([pa, np.conj(pa)])
+    if r:
+        p0 = 1j * _sne(1j * v0, k)
+        p = np.append(p, complex(np.real(p0), 0.0))
+    gain = np.real(np.prod(-p) / np.prod(-z))
+    if r == 0:
+        gain *= 10.0 ** (-rp / 20.0)
+    return z, p, gain
+
+
+def _bessel_poly_roots(n: int) -> np.ndarray:
+    """Roots of the degree-n reverse Bessel polynomial θ_n(s)."""
+    # a_k = (2n−k)! / (2^{n−k} k! (n−k)!), k = 0..n  (highest power first
+    # for np.roots).
+    from math import factorial
+
+    coeffs = [
+        factorial(2 * n - k) / (2 ** (n - k) * factorial(k) * factorial(n - k))
+        for k in range(n, -1, -1)
+    ]
+    return np.roots(np.asarray(coeffs, np.float64))
+
+
+def _besselap(n: int, norm: str = "phase"):
+    """Bessel/Thomson analog prototype (maximally flat group delay).
+
+    ``norm``: "delay" → unit group delay at DC; "phase" → poles scaled by
+    the geometric mean of their magnitudes, ``(θ_n(0))^(1/n)``, so the
+    asymptotic Bode phase crosses its midpoint at ω=1 (scipy's default);
+    "mag" → −3 dB at ω=1 (numeric).
+    """
+    p = _bessel_poly_roots(n)
+
+    def mag2(w):
+        k0 = np.real(np.prod(-p))
+        return np.abs(k0 / np.prod(1j * w - p)) ** 2 - 0.5
+
+    if norm == "delay":
+        scale = 1.0
+    elif norm == "phase":
+        scale = np.real(np.prod(-p)) ** (1.0 / n)
+    elif norm == "mag":
+        lo, hi = 1e-6, 1e6
+        for _ in range(200):
+            mid = 0.5 * (lo + hi)
+            if mag2(mid) > 0:
+                lo = mid
+            else:
+                hi = mid
+        scale = 0.5 * (lo + hi)
+    else:
+        raise ValueError(f"unknown bessel norm {norm!r}")
+    p = p / scale
+    gain = np.real(np.prod(-p))
     return np.array([]), p, gain
 
 
@@ -220,6 +388,165 @@ def cheby1_sos(
 ) -> np.ndarray:
     """Chebyshev type-I digital filter (passband ripple ``rp`` dB) as SOS."""
     return _iirfilter_sos(_cheb1ap(order, rp), order, wn, btype, fs)
+
+
+def cheby2_sos(
+    order: int, rs: float, wn, btype: str = "lowpass", fs: float = 2.0
+) -> np.ndarray:
+    """Chebyshev type-II digital filter (stopband attenuation ``rs`` dB,
+    ``wn`` = stopband edge) as SOS."""
+    return _iirfilter_sos(_cheb2ap(order, rs), order, wn, btype, fs)
+
+
+def ellip_sos(
+    order: int, rp: float, rs: float, wn, btype: str = "lowpass", fs: float = 2.0
+) -> np.ndarray:
+    """Elliptic (Cauer) digital filter (``rp`` dB passband ripple, ``rs`` dB
+    stopband attenuation) as SOS."""
+    return _iirfilter_sos(_ellipap(order, rp, rs), order, wn, btype, fs)
+
+
+def bessel_sos(
+    order: int, wn, btype: str = "lowpass", fs: float = 2.0, norm: str = "phase"
+) -> np.ndarray:
+    """Bessel/Thomson digital filter (maximally flat group delay) as SOS.
+
+    Note the bilinear transform does not preserve the flat group delay
+    exactly (same caveat as scipy's ``bessel``); accurate for ``wn`` well
+    below Nyquist.
+    """
+    return _iirfilter_sos(_besselap(order, norm), order, wn, btype, fs)
+
+
+def iirfilter_sos(
+    order: int,
+    wn,
+    *,
+    btype: str = "lowpass",
+    ftype: str = "butter",
+    rp: Optional[float] = None,
+    rs: Optional[float] = None,
+    fs: float = 2.0,
+    norm: str = "phase",
+) -> np.ndarray:
+    """Generic IIR design front door (scipy.signal.iirfilter analog).
+
+    ``ftype``: "butter" | "cheby1" | "cheby2" | "ellip" | "bessel".
+    Returns normalised second-order sections ready for :func:`sosfilt`.
+    """
+    ftype = ftype.lower()
+    if ftype in ("butter", "butterworth"):
+        proto = _buttap(order)
+    elif ftype in ("cheby1", "chebyshev1", "cheby_1"):
+        if rp is None:
+            raise ValueError("cheby1 needs rp (passband ripple, dB)")
+        proto = _cheb1ap(order, rp)
+    elif ftype in ("cheby2", "chebyshev2", "cheby_2"):
+        if rs is None:
+            raise ValueError("cheby2 needs rs (stopband attenuation, dB)")
+        proto = _cheb2ap(order, rs)
+    elif ftype in ("ellip", "elliptic", "cauer"):
+        if rp is None or rs is None:
+            raise ValueError("ellip needs rp and rs (dB)")
+        proto = _ellipap(order, rp, rs)
+    elif ftype in ("bessel", "thomson"):
+        proto = _besselap(order, norm)
+    else:
+        raise ValueError(f"unknown ftype {ftype!r}")
+    return _iirfilter_sos(proto, order, wn, btype, fs)
+
+
+# --- Minimum-order selection (scipy buttord/cheb1ord/cheb2ord/ellipord) ----
+
+
+def _ord_band_edges(wp, ws, btype, fs):
+    """Normalise passband/stopband spec to a single analog selectivity ratio.
+
+    Returns (nat, warped_wp) where ``nat ≥ 1`` is the stopband-to-passband
+    frequency ratio of the equivalent analog lowpass prototype.
+    """
+    wp = np.atleast_1d(np.asarray(wp, np.float64)) * 2.0 / fs
+    ws = np.atleast_1d(np.asarray(ws, np.float64)) * 2.0 / fs
+    if np.any(wp <= 0) or np.any(wp >= 1) or np.any(ws <= 0) or np.any(ws >= 1):
+        raise ValueError("band edges must lie inside (0, fs/2)")
+    warp = lambda w: 2.0 * 2.0 * np.tan(np.pi * w / 2.0)
+    Wp, Ws = warp(wp), warp(ws)
+    btype = btype.lower()
+    if btype in ("lowpass", "low", "lp"):
+        nat = Ws[0] / Wp[0]
+    elif btype in ("highpass", "high", "hp"):
+        nat = Wp[0] / Ws[0]
+    elif btype in ("bandpass", "bp"):
+        wo = np.sqrt(Wp[0] * Wp[1])
+        bw = Wp[1] - Wp[0]
+        nat = float(np.min(np.abs((Ws**2 - wo**2) / (Ws * bw))))
+    elif btype in ("bandstop", "bs", "notch"):
+        # Conservative: evaluated at the given passband edges (scipy
+        # additionally optimises wp inward for bandstop, which can shave
+        # one order off; ours always meets the spec, sometimes with margin).
+        wo = np.sqrt(Wp[0] * Wp[1])
+        bw = Wp[1] - Wp[0]
+        nat = float(np.min(np.abs((Ws * bw) / (Ws**2 - wo**2))))
+    else:
+        raise ValueError(f"unknown btype {btype!r}")
+    if nat <= 1.0:
+        raise ValueError("stopband must be strictly beyond the passband")
+    return float(nat), wp
+
+
+def buttord(wp, ws, gpass: float, gstop: float, fs: float = 2.0):
+    """Minimum Butterworth order meeting ≤``gpass`` dB passband loss and
+    ≥``gstop`` dB stopband attenuation.  Returns ``(order, wn)`` with ``wn``
+    the passband edge(s) to pass to :func:`butter_sos` (gpass is met
+    exactly at wn; the margin goes to the stopband)."""
+    nat, wp_n = _ord_band_edges(wp, ws, _ord_btype(wp, ws), fs)
+    d = (10.0 ** (0.1 * gstop) - 1.0) / (10.0 ** (0.1 * gpass) - 1.0)
+    order = int(np.ceil(np.log(d) / (2.0 * np.log(nat))))
+    return max(order, 1), np.squeeze(wp_n * fs / 2.0)
+
+
+def cheb1ord(wp, ws, gpass: float, gstop: float, fs: float = 2.0):
+    nat, wp_n = _ord_band_edges(wp, ws, _ord_btype(wp, ws), fs)
+    d = (10.0 ** (0.1 * gstop) - 1.0) / (10.0 ** (0.1 * gpass) - 1.0)
+    order = int(np.ceil(np.arccosh(np.sqrt(d)) / np.arccosh(nat)))
+    return max(order, 1), np.squeeze(wp_n * fs / 2.0)
+
+
+def cheb2ord(wp, ws, gpass: float, gstop: float, fs: float = 2.0):
+    """Returns ``(order, wn)`` with ``wn`` the *stopband* edge(s) for
+    :func:`cheby2_sos` (scipy returns a tightened edge; we return ws —
+    the spec is still met, with margin at the passband side)."""
+    nat, _ = _ord_band_edges(wp, ws, _ord_btype(wp, ws), fs)
+    d = (10.0 ** (0.1 * gstop) - 1.0) / (10.0 ** (0.1 * gpass) - 1.0)
+    order = int(np.ceil(np.arccosh(np.sqrt(d)) / np.arccosh(nat)))
+    return max(order, 1), np.squeeze(np.asarray(ws, np.float64))
+
+
+def ellipord(wp, ws, gpass: float, gstop: float, fs: float = 2.0):
+    nat, wp_n = _ord_band_edges(wp, ws, _ord_btype(wp, ws), fs)
+    ep = np.sqrt(10.0 ** (0.1 * gpass) - 1.0)
+    es = np.sqrt(10.0 ** (0.1 * gstop) - 1.0)
+    k = 1.0 / nat  # selectivity
+    k1 = ep / es  # discrimination
+    kp = np.sqrt(1.0 - k * k)
+    k1p = np.sqrt(1.0 - k1 * k1)
+    order = int(np.ceil(
+        (_ellipk(k) * _ellipk(k1p)) / (_ellipk(kp) * _ellipk(k1))
+    ))
+    return max(order, 1), np.squeeze(wp_n * fs / 2.0)
+
+
+def _ord_btype(wp, ws) -> str:
+    """Infer band type from the edge layout (scipy-compatible shorthand)."""
+    wp = np.atleast_1d(np.asarray(wp, np.float64))
+    ws = np.atleast_1d(np.asarray(ws, np.float64))
+    if wp.size == 1:
+        return "lowpass" if wp[0] < ws[0] else "highpass"
+    if wp[0] > ws[0] and wp[1] < ws[1]:
+        return "bandpass"
+    if wp[0] < ws[0] and wp[1] > ws[1]:
+        return "bandstop"
+    raise ValueError("inconsistent wp/ws band edges")
 
 
 def _iirfilter_sos(prototype, order, wn, btype, fs):
