@@ -459,6 +459,25 @@ def iirfilter_sos(
 # --- Minimum-order selection (scipy buttord/cheb1ord/cheb2ord/ellipord) ----
 
 
+def _golden_max(f, lo: float, hi: float, iters: int = 100) -> float:
+    """Golden-section maximisation of a unimodal f on [lo, hi]."""
+    inv_phi = (np.sqrt(5.0) - 1.0) / 2.0
+    a, b = lo, hi
+    c = b - inv_phi * (b - a)
+    d = a + inv_phi * (b - a)
+    fc, fd = f(c), f(d)
+    for _ in range(iters):
+        if fc > fd:
+            b, d, fd = d, c, fc
+            c = b - inv_phi * (b - a)
+            fc = f(c)
+        else:
+            a, c, fc = c, d, fd
+            d = a + inv_phi * (b - a)
+            fd = f(d)
+    return 0.5 * (a + b)
+
+
 def _ord_band_edges(wp, ws, btype, fs):
     """Normalise passband/stopband spec to a single analog selectivity ratio.
 
@@ -481,12 +500,19 @@ def _ord_band_edges(wp, ws, btype, fs):
         bw = Wp[1] - Wp[0]
         nat = float(np.min(np.abs((Ws**2 - wo**2) / (Ws * bw))))
     elif btype in ("bandstop", "bs", "notch"):
-        # Conservative: evaluated at the given passband edges (scipy
-        # additionally optimises wp inward for bandstop, which can shave
-        # one order off; ours always meets the spec, sometimes with margin).
-        wo = np.sqrt(Wp[0] * Wp[1])
-        bw = Wp[1] - Wp[0]
-        nat = float(np.min(np.abs((Ws * bw) / (Ws**2 - wo**2))))
+        # A bandstop prototype transform couples its two transition bands
+        # through wo; the spec only bounds the given edges, so the passband
+        # edges may be tightened toward the stopband to balance the two
+        # transitions and minimise the order (order is monotone decreasing
+        # in nat for every family, so maximising nat is family-agnostic).
+        def nat_for(p0, p1):
+            wo2 = p0 * p1
+            bwv = p1 - p0
+            return float(np.min(np.abs((Ws * bwv) / (Ws**2 - wo2))))
+
+        p0 = _golden_max(lambda v: nat_for(v, Wp[1]), Wp[0], Ws[0] * (1 - 1e-12))
+        p1 = _golden_max(lambda v: nat_for(p0, v), Ws[1] * (1 + 1e-12), Wp[1])
+        nat = nat_for(p0, p1)
     else:
         raise ValueError(f"unknown btype {btype!r}")
     if nat <= 1.0:

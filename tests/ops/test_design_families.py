@@ -102,20 +102,12 @@ class TestOrderSelection:
     def test_orders_match_scipy(self):
         for wp, ws in [(0.2, 0.3), (0.4, 0.3), ([0.2, 0.5], [0.1, 0.6]),
                        ([0.1, 0.6], [0.2, 0.5])]:
-            bandstop = np.ndim(wp) == 1 and wp[0] < ws[0]
             for g_p, g_s in [(1, 40), (3, 60), (0.5, 80)]:
                 for ours, theirs in [
                     (li.buttord, ss.buttord), (li.cheb1ord, ss.cheb1ord),
                     (li.cheb2ord, ss.cheb2ord), (li.ellipord, ss.ellipord),
                 ]:
-                    n_us = ours(wp, ws, g_p, g_s)[0]
-                    n_sp = theirs(wp, ws, g_p, g_s)[0]
-                    if bandstop:
-                        # scipy optimises wp inward for bandstop; ours is
-                        # conservative by at most one order.
-                        assert n_sp <= n_us <= n_sp + 1
-                    else:
-                        assert n_us == n_sp
+                    assert ours(wp, ws, g_p, g_s)[0] == theirs(wp, ws, g_p, g_s)[0]
 
     def test_designed_at_selected_order_meets_spec(self):
         n, wn = li.ellipord(0.2, 0.3, 1, 40)
