@@ -49,6 +49,7 @@ from llzlab_tpu.ops.resample import (  # noqa: F401
 )
 from llzlab_tpu.ops.window import get_window  # noqa: F401
 from llzlab_tpu.ops.mdct import mdct, imdct  # noqa: F401
+from llzlab_tpu.ops.dct import dct, idct, dst, idst  # noqa: F401
 from llzlab_tpu.ops.iir import sosfiltfilt, lfilter, tf2sos  # noqa: F401
 from llzlab_tpu.ops.resample import decimate  # noqa: F401
 from llzlab_tpu.ops.convolve import fftconvolve, correlate  # noqa: F401

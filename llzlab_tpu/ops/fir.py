@@ -478,11 +478,18 @@ def fir_filter(
     taps = jnp.asarray(taps, dtype=jnp.float32)
     ntaps = taps.shape[0]
     if method == "auto":
-        # XLA's TPU lowering of wide 1-D convs is ~100× off the OLS path
-        # (measured 17 vs 1500 Msps at 1024 taps); direct only wins for
-        # short filters on CPU.
+        # XLA's TPU lowering of wide 1-D convs is ~100× off the fast paths
+        # (measured 17 vs 1500+ Msps at 1024 taps); direct only wins for
+        # short filters on CPU.  On TPU the two-matmul Toeplitz engine
+        # (block2) beats overlap-save up to ~2k taps (3259 vs 1520 Msps at
+        # 1024 taps on v5e); beyond that the O(N·ntaps) FLOPs lose to the
+        # FFT path.
         on_tpu = jax.default_backend() in ("tpu", "axon")
-        method = "ols" if (on_tpu or ntaps > 128) else "direct"
+        if on_tpu:
+            method = "block2" if (taps_host is not None and ntaps <= 2048) \
+                else "ols"
+        else:
+            method = "direct" if ntaps <= 128 else "ols"
     if method not in ("ols", "direct", "im2col", "block2"):
         raise ValueError(f"unknown method {method!r}")
     if nfft is None:

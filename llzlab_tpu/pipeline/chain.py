@@ -61,19 +61,29 @@ class FIRStage(Stage):
     """Causal FIR filtering (overlap-save or direct; ops/fir.py)."""
 
     def __init__(self, taps, *, method: str = "auto", nfft: Optional[int] = None):
+        import jax
+
         self.taps = np.asarray(taps, dtype=np.float64)
-        self.method = method
         self.nfft = nfft
         ntaps = len(self.taps)
-        eff_method = method if method != "auto" else (
-            "direct" if ntaps <= 128 else "ols"
-        )
+        if method == "auto":
+            # Resolve once at stage-build time (mirrors ops/fir.py "auto")
+            # so the carried state length is fixed for the stage's life.
+            on_tpu = jax.default_backend() in ("tpu", "axon")
+            if on_tpu:
+                method = "block2" if ntaps <= 2048 else "ols"
+            else:
+                method = "direct" if ntaps <= 128 else "ols"
+        self.method = method
         eff_nfft = nfft or _fir.default_nfft(ntaps)
-        self._state_len = _fir.fir_state_len(ntaps, eff_nfft, eff_method)
-        # exact streaming when blocks align with the overlap-save frame grid
-        self.block_multiple = (
-            _fir.ols_hop(ntaps, eff_nfft) if eff_method == "ols" else 1
-        )
+        self._state_len = _fir.fir_state_len(ntaps, eff_nfft, method)
+        # exact streaming when blocks align with the engine's frame grid
+        if method == "ols":
+            self.block_multiple = _fir.ols_hop(ntaps, eff_nfft)
+        elif method == "block2":
+            self.block_multiple = _fir.block2_block(ntaps)
+        else:
+            self.block_multiple = 1
 
     def init_state(self, batch_shape, dtype=jnp.float32):
         return jnp.zeros(batch_shape + (self._state_len,), dtype)
