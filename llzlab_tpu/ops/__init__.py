@@ -17,11 +17,26 @@ from llzlab_tpu.ops.transform import (  # noqa: F401
 from llzlab_tpu.ops.spectral import stft, istft, frame, overlap_add  # noqa: F401
 from llzlab_tpu.ops.fir import (  # noqa: F401
     firwin,
+    firwin2,
+    kaiserord,
+    kaiser_beta,
+    kaiser_atten,
     fir_filter,
     fir_halo,
     default_nfft,
     ols_hop,
     fir_state_len,
+)
+from llzlab_tpu.ops.signals import (  # noqa: F401
+    tone,
+    multitone,
+    chirp,
+    square,
+    sawtooth,
+    gausspulse,
+    white_noise,
+    pink_noise,
+    noisy_tones,
 )
 from llzlab_tpu.ops.iir import (  # noqa: F401
     butter_sos,

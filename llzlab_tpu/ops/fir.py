@@ -37,11 +37,16 @@ from llzlab_tpu.ops.transform import matmul_precision as _matmul_precision
 
 __all__ = [
     "firwin",
+    "firwin2",
+    "kaiser_beta",
+    "kaiser_atten",
+    "kaiserord",
     "fir_filter",
     "fir_halo",
     "default_nfft",
     "ols_hop",
     "fir_state_len",
+    "block2_block",
 ]
 
 
@@ -112,6 +117,71 @@ def firwin(
     scale = np.sum(h * np.cos(np.pi * m * fc))
     h /= scale
     return h
+
+
+def firwin2(
+    numtaps: int,
+    freq,
+    gain,
+    *,
+    nfreqs: Optional[int] = None,
+    window="hamming",
+    fs: float = 2.0,
+) -> np.ndarray:
+    """Frequency-sampling FIR design (scipy.signal.firwin2 semantics).
+
+    ``freq`` (monotone, 0 … fs/2 with both endpoints present) and ``gain``
+    define the desired magnitude; the linear-phase response is sampled on a
+    fine grid, inverse-rFFT'd, truncated to ``numtaps`` and windowed.
+    """
+    freq = np.asarray(freq, np.float64) * 2.0 / fs
+    gain = np.asarray(gain, np.float64)
+    if freq[0] != 0.0 or freq[-1] != 1.0:
+        raise ValueError("freq must start at 0 and end at fs/2")
+    if np.any(np.diff(freq) < 0):
+        raise ValueError("freq must be nondecreasing")
+    if numtaps % 2 == 0 and gain[-1] != 0.0:
+        raise ValueError("even numtaps needs zero gain at Nyquist (type II)")
+    if nfreqs is None:
+        nfreqs = 1 + 2 ** int(math.ceil(math.log2(max(numtaps, 2))))
+    # Nudge duplicate interior frequencies apart (step responses).
+    eps = np.finfo(np.float64).eps
+    fq = freq.copy()
+    for i in range(1, len(fq)):
+        if fq[i] <= fq[i - 1]:
+            fq[i] = fq[i - 1] + eps * (i + 1)
+    x = np.linspace(0.0, 1.0, nfreqs)
+    fx = np.interp(x, fq, gain)
+    shift = np.exp(-(numtaps - 1) / 2.0 * 1j * np.pi * x)
+    h_full = np.fft.irfft(fx * shift)
+    h = h_full[:numtaps] * get_window(window, numtaps, periodic=False)
+    return h
+
+
+def kaiser_beta(a: float) -> float:
+    """Kaiser window β for ``a`` dB of stopband attenuation."""
+    if a > 50.0:
+        return 0.1102 * (a - 8.7)
+    if a > 21.0:
+        return 0.5842 * (a - 21.0) ** 0.4 + 0.07886 * (a - 21.0)
+    return 0.0
+
+
+def kaiser_atten(numtaps: int, width: float) -> float:
+    """Attenuation (dB) of a Kaiser-window FIR with the given transition
+    ``width`` (Nyquist units)."""
+    return 2.285 * (numtaps - 1) * np.pi * width + 7.95
+
+
+def kaiserord(ripple: float, width: float):
+    """(numtaps, beta) meeting ``ripple`` dB over a ``width`` transition
+    (scipy.signal.kaiserord semantics; width in Nyquist units)."""
+    a = abs(ripple)
+    if a < 8.0:
+        raise ValueError("ripple attenuation too small for Kaiser (min 8 dB)")
+    beta = kaiser_beta(a)
+    numtaps = (a - 7.95) / (2.285 * np.pi * width) + 1
+    return int(math.ceil(numtaps)), beta
 
 
 # ---------------------------------------------------------------------------
