@@ -57,6 +57,7 @@ from llzlab_tpu.ops.fused_chain import (  # noqa: F401
     fir_resample,
     fir_resample_state_len,
 )
+from llzlab_tpu.ops.iir_matmul import sosfilt_matmul  # noqa: F401
 from llzlab_tpu.ops.resample import (  # noqa: F401
     resample_poly,
     resample_taps,
