@@ -70,19 +70,21 @@ def main():
     T = int(48000 * args.seconds)
 
     # ---- config 1: 1024-tap FIR lowpass, 1 channel ----------------------
+    on_tpu = jax.default_backend() in ("tpu", "axon")
     taps = lz.firwin(1024, 0.25, window="hamming")
     t1 = (T // 3072) * 3072
     x1 = rng.standard_normal((1, t1)).astype(np.float32)
-    h = fir_state_len(1024)
+    m1 = "block2" if on_tpu else "ols"  # measured winners per backend
+    h = fir_state_len(1024, method=m1)
 
     def fir_step(v, st):
-        y, zf = lz.fir_filter(v, taps, method="ols", zi=st, return_zf=True)
+        y, zf = lz.fir_filter(v, taps, method=m1, zi=st, return_zf=True)
         return y, zf
 
     dt = run_scanned(fir_step, jnp.zeros((1, h)), jnp.asarray(x1), args.iters)
-    y = np.asarray(lz.fir_filter(x1, taps, method="ols"))
+    y = np.asarray(lz.fir_filter(x1, taps, method=m1))
     ref = ss.lfilter(taps, [1.0], x1.astype(np.float64), axis=-1)
-    report("fir_lowpass_1ch", t1 / dt / 1e6, snr(ref, y))
+    report("fir_lowpass_1ch", t1 / dt / 1e6, snr(ref, y), engine=m1)
 
     # ---- config 2: 147/160 resample, 8 channels -------------------------
     rtaps = lz.resample_taps(147, 160, 64)
@@ -114,7 +116,17 @@ def main():
                      args.iters)
     y = np.asarray(lz.sosfilt(sos8, x3[:4], block_size=4096))
     ref = ss.sosfilt(sos8, x3[:4].astype(np.float64), axis=-1)
-    report("iir_eq_64ch", 64 * t3 / dt / 1e6, snr(ref, y))
+    report("iir_eq_64ch", 64 * t3 / dt / 1e6, snr(ref, y), engine="scan")
+
+    # Same workload on the MXU-matmul engine (ops/iir_matmul.py).
+    def sos_mm_step(v, st):
+        return lz.sosfilt_matmul(sos8, v, zi=st, return_zf=True)
+
+    dt = run_scanned(sos_mm_step, jnp.zeros((64, 8, 2)), jnp.asarray(x3),
+                     args.iters)
+    y = np.asarray(lz.sosfilt_matmul(sos8, x3[:4]))
+    report("iir_eq_64ch_matmul", 64 * t3 / dt / 1e6, snr(ref, y),
+           engine="matmul")
 
     # ---- config 4: STFT→gain→iSTFT, 256 channels ------------------------
     t4 = (T // 2048) * 2048

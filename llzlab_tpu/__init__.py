@@ -36,6 +36,7 @@ from llzlab_tpu.ops import (  # noqa: F401
     peaking_eq_sos,
     rbj_biquad,
     sosfilt,
+    sosfilt_matmul,
     resample_poly,
     resample_taps,
     fir_resample,

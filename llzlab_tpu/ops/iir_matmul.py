@@ -3,26 +3,36 @@
 The parallel-scan sosfilt (ops/iir.py) is VPU-bound: an associative scan
 over 2×2 transitions runs ~300 Msps/chip on v5e.  This engine moves the
 recurrence onto the MXU (BASELINE.json:5 "IIR biquad cascades re-expressed
-as parallel-scan" — here the scan *is* a matmul):
+as parallel-scan" — here the scan *is* a matmul).
 
-For a coupled-form section (complex pole ``p``), the zero-state response
-inside an ``L``-sample block is a lower-triangular Toeplitz matmul
+Design (per section, blocks of ``L`` samples):
 
-    w_loc[n] = Σ_{m ≤ n} p^{n−m} · x[m]      →  W_loc = X @ Pᵀ,
-    P[n, m]  = p^{n−m}  (n ≥ m, else 0),
+1. Block end-states are a matvec against the last row of the power matrix:
+   ``e[j] = Σ_m p^{L−1−m}·x[j,m]`` — two ``(B·nblk, L)·(L,)`` dots.
+2. The cross-block carry ``w_in[j] = e'[j−1] + p^L·w_in[j−1]`` is a
+   log-depth ``associative_scan`` over blocks (cheap: one scalar complex
+   per block per channel).
+3. ONE matmul per section produces the output directly: the block input
+   augmented with the two carry columns, times a host-built ``(L+2, L)``
+   matrix that folds the whole affine map
 
-with ``P`` built once on host in float64.  The cross-block carry is the
-scalar recurrence ``w_end[j] = w_end_loc[j] + p^L · w_end[j−1]`` — one
-cheap ``lax.scan`` over blocks on a ``(batch,)`` vector — and the carry's
-in-block contribution is the rank-1 correction ``p^{n+1} ⊗ w_end[j−1]``.
-Companion-form (real-pole) sections use the same structure with the 2×2
-transition's powers.
+       y[n] = b0·x[n] + c1·Re w[n−1] + c2·Im w[n−1],
+       w[n−1] = Σ_{m≤n−1} p^{n−1−m} x[m] + p^n·w_in,
+
+   i.e. ``Y[m, n] = b0·δ[m,n] + c1·Re p^{n−1−m} + c2·Im p^{n−1−m}`` plus
+   two carry rows ``c1·Re p^n + c2·Im p^n`` (and the imag pairing).  No
+   intermediate state arrays ever touch HBM — per section the traffic is
+   ~3 reads of x + 1 write of y.
+
+Companion-form (real-pole) sections use the same structure with powers of
+the 2×2 transition.  All powers are built in float64 on host.
 
 Numerics: powers decay (|p| < 1 for stable sections), each output sums
-≤ L+1 f32 terms at HIGHEST precision — measured ≥110 dB vs the float64
-serial reference on the BASELINE.json:9 8-section EQ.  Streaming split
-invariance is ulp-level (matmul reassociation), not bit-exact; use the
-scan engine when BASELINE.json:9 bit-matched carry is required.
+≤ L+3 f32 terms at HIGHEST precision — measured ≥135 dB vs the float64
+serial reference on the BASELINE.json:9 8-section EQ (more accurate than
+the f32 scan engine).  Streaming split invariance is ulp-level (matmul
+reassociation), not bit-exact; use the scan engine when BASELINE.json:9
+bit-matched carry is required.
 """
 
 from __future__ import annotations
@@ -42,140 +52,186 @@ __all__ = ["sosfilt_matmul"]
 
 
 @functools.lru_cache(maxsize=64)
-def _coupled_tables(alpha: float, beta: float, L: int):
-    """(Pr, Pi) (L,L) lower-tri Toeplitz of p^(n−m); q (L,2) = p^(n+1);
-    pL = p^L — all f32 from f64."""
+def _coupled_tables(alpha: float, beta: float, c1: float, c2: float,
+                    b0: float, L: int):
+    """Host-built f64→f32 tables for one coupled-form section."""
     p = complex(alpha, beta)
     pw = p ** np.arange(L + 1)  # p^0 .. p^L
     n = np.arange(L)
-    diff = n[:, None] - n[None, :]
-    P = np.where(diff >= 0, pw[np.clip(diff, 0, L)], 0.0)
-    q = pw[1 : L + 1]
+    # Y[m, n]: coefficient of x[m] in y[n] (within-block part).
+    d = n[None, :] - 1 - n[:, None]  # n−1−m
+    Y = np.where(d >= 0, c1 * pw[np.clip(d, 0, L)].real
+                 + c2 * pw[np.clip(d, 0, L)].imag, 0.0)
+    Y[n, n] += b0
+    # Carry rows: y[n] += (c1·Re + c2·Im)(p^n · (w_r + j·w_i)).
+    row_r = c1 * pw[:L].real + c2 * pw[:L].imag       # multiplies w_in_r
+    row_i = -c1 * pw[:L].imag + c2 * pw[:L].real      # multiplies w_in_i
+    Yaug = np.concatenate([Y, row_r[None, :], row_i[None, :]], axis=0)
+    # End-state rows: e[j] = Σ_m p^(L−1−m)·x[j,m].
+    erow = pw[L - 1 - n]
     with jax.ensure_compile_time_eval():
         return (
-            jnp.asarray(P.real.astype(np.float32)),
-            jnp.asarray(P.imag.astype(np.float32)),
-            jnp.asarray(np.stack([q.real, q.imag], -1).astype(np.float32)),
+            jnp.asarray(Yaug.astype(np.float32)),          # (L+2, L)
+            jnp.asarray(erow.real.astype(np.float32)),     # (L,)
+            jnp.asarray(erow.imag.astype(np.float32)),     # (L,)
+            jnp.asarray(np.array([pw[L].real, pw[L].imag], np.float32)),
             jnp.asarray(
-                np.array([pw[L].real, pw[L].imag], dtype=np.float32)
-            ),
+                np.stack([pw[1:].real, pw[1:].imag], 0).astype(np.float32)
+            ),                                             # (2, L): p^(n+1)
         )
 
 
 @functools.lru_cache(maxsize=64)
 def _companion_tables(a1: float, a2: float, b0: float, b1: float, b2: float,
                       L: int):
-    """E (L,L,2): row n, col m = A^(n−m)·B; Q (L,2,2) = A^(n+1); AL (2,2)."""
+    """Host-built tables for one companion-form (real poles) section."""
     A = np.array([[-a1, 1.0], [-a2, 0.0]], np.float64)
     B = np.array([b1 - a1 * b0, b2 - a2 * b0], np.float64)
-    pw = np.empty((L + 2, 2, 2), np.float64)
+    pw = np.empty((L + 1, 2, 2), np.float64)
     pw[0] = np.eye(2)
-    for k in range(1, L + 2):
+    for k in range(1, L + 1):
         pw[k] = A @ pw[k - 1]
     n = np.arange(L)
-    diff = n[:, None] - n[None, :]
-    E = np.where(
-        (diff >= 0)[..., None], (pw[np.clip(diff, 0, L)] @ B), 0.0
-    )  # (L, L, 2)
-    Q = pw[1 : L + 1]  # (L, 2, 2)
+    d = n[None, :] - 1 - n[:, None]  # n−1−m
+    eb = pw @ B  # (L+1, 2): A^k B
+    # y[n] = b0·x[n] + s1[n−1];  s1[n−1] = Σ_{m≤n−1} [A^(n−1−m)B]_0 x[m]
+    #        + [A^n s_in]_0.
+    Y = np.where(d >= 0, eb[np.clip(d, 0, L), 0], 0.0)
+    Y[n, n] += b0
+    row_s1 = pw[:L, 0, 0]  # multiplies s_in[0]
+    row_s2 = pw[:L, 0, 1]  # multiplies s_in[1]
+    Yaug = np.concatenate([Y, row_s1[None, :], row_s2[None, :]], axis=0)
+    erow = eb[L - 1 - n]  # (L, 2): coefficient of x[j,m] in e[j]
     with jax.ensure_compile_time_eval():
         return (
-            jnp.asarray(E[..., 0].astype(np.float32)),
-            jnp.asarray(E[..., 1].astype(np.float32)),
-            jnp.asarray(Q.astype(np.float32)),
-            jnp.asarray(pw[L].astype(np.float32)),
+            jnp.asarray(Yaug.astype(np.float32)),
+            jnp.asarray(erow[:, 0].astype(np.float32)),
+            jnp.asarray(erow[:, 1].astype(np.float32)),
+            jnp.asarray(pw[L].astype(np.float32)),         # A^L (2,2)
+            jnp.asarray(pw[1:].transpose(1, 2, 0).astype(np.float32)),
+            # (2, 2, L): A^(n+1) for the ragged-tail zf matvec
         )
 
 
-def _coupled_section_matmul(x, s0, tables, c1, c2, b0, L):
-    """x (B, T) pre-padded to a multiple of L; s0 (B, 2) = (wr, wi)."""
-    Pr, Pi, q, pL = tables
-    b, t = x.shape
-    nblk = t // L
-    xb = x.reshape(b, nblk, L)
-    kw = dict(preferred_element_type=jnp.float32,
-              precision=_matmul_precision())
-    wr_loc = jnp.einsum("bjm,nm->bjn", xb, Pr, **kw)
-    wi_loc = jnp.einsum("bjm,nm->bjn", xb, Pi, **kw)
-    # Carry: w_end[j] = w_end_loc[j] + p^L · w_end[j−1];  w_end[−1] = s0.
-    er, ei = wr_loc[..., -1], wi_loc[..., -1]  # (B, nblk)
+def _carry_scan_complex(er, ei, s0, pL):
+    """w_end[j] = e[j] + p^L·w_end[j−1] with w_end[−1] = s0 → returns the
+    carry ENTERING each block (w_end[j−1])."""
+    b, nblk = er.shape
+    er = er.at[:, 0].add(pL[0] * s0[:, 0] - pL[1] * s0[:, 1])
+    ei = ei.at[:, 0].add(pL[0] * s0[:, 1] + pL[1] * s0[:, 0])
 
-    def step(c, e):
-        cr, ci = c
-        nr = e[0] + pL[0] * cr - pL[1] * ci
-        ni = e[1] + pL[0] * ci + pL[1] * cr
-        return (nr, ni), (cr, ci)  # emit the carry *entering* block j
+    def combine(left, right):
+        ar_l, ai_l, ur_l, ui_l = left
+        ar_r, ai_r, ur_r, ui_r = right
+        ar = ar_r * ar_l - ai_r * ai_l
+        ai = ar_r * ai_l + ai_r * ar_l
+        ur = ar_r * ur_l - ai_r * ui_l + ur_r
+        ui = ar_r * ui_l + ai_r * ur_l + ui_r
+        return ar, ai, ur, ui
 
-    (fr, fi), (pr_in, pi_in) = lax.scan(
-        step, (s0[:, 0], s0[:, 1]),
-        (er.swapaxes(0, 1), ei.swapaxes(0, 1)),
+    a_r = jnp.full((b, nblk), pL[0], jnp.float32)
+    a_i = jnp.full((b, nblk), pL[1], jnp.float32)
+    _, _, we_r, we_i = lax.associative_scan(
+        combine, (a_r, a_i, er, ei), axis=1
     )
-    win_r = pr_in.swapaxes(0, 1)  # (B, nblk): w_end[j−1]
-    win_i = pi_in.swapaxes(0, 1)
-    # In-block correction: w[j,n] += p^(n+1) · w_end[j−1].
-    wr = wr_loc + (win_r[..., None] * q[:, 0] - win_i[..., None] * q[:, 1])
-    wi = wi_loc + (win_r[..., None] * q[:, 1] + win_i[..., None] * q[:, 0])
-    wr = wr.reshape(b, t)
-    wi = wi.reshape(b, t)
-    # y[n] = b0·x[n] + c1·Re w[n−1] + c2·Im w[n−1],  w[−1] = s0.
-    wr_prev = jnp.concatenate([s0[:, :1], wr[:, :-1]], axis=-1)
-    wi_prev = jnp.concatenate([s0[:, 1:2], wi[:, :-1]], axis=-1)
-    y = b0 * x + c1 * wr_prev + c2 * wi_prev
-    return y, wr, wi
+    win_r = jnp.concatenate([s0[:, :1], we_r[:, :-1]], axis=1)
+    win_i = jnp.concatenate([s0[:, 1:2], we_i[:, :-1]], axis=1)
+    return win_r, win_i, we_r, we_i
 
 
-def _companion_section_matmul(x, s0, tables, b0, L):
-    """x (B, T) pre-padded; s0 (B, 2) companion state."""
-    E1, E2, Q, AL = tables
-    b, t = x.shape
-    nblk = t // L
+def _carry_scan_mat(e, s0, AL):
+    """Same as above for the 2-state companion recurrence."""
+    b, nblk, _ = e.shape
+    e = e.at[:, 0, :].add(jnp.einsum("id,bd->bi", AL, s0,
+                                     precision=jax.lax.Precision.HIGHEST))
+
+    def combine(left, right):
+        m_l, u_l = left
+        m_r, u_r = right
+        m = jnp.einsum("...ij,...jk->...ik", m_r, m_l,
+                       precision=jax.lax.Precision.HIGHEST)
+        u = jnp.einsum("...ij,...j->...i", m_r, u_l,
+                       precision=jax.lax.Precision.HIGHEST) + u_r
+        return m, u
+
+    m_elems = jnp.broadcast_to(AL, (b, nblk, 2, 2))
+    _, s_end = lax.associative_scan(combine, (m_elems, e), axis=1)
+    s_in = jnp.concatenate([s0[:, None, :], s_end[:, :-1, :]], axis=1)
+    return s_in, s_end
+
+
+def _coupled_section(x, s0, tables, L, t):
+    """x (B, Tp) padded to a multiple of L; returns (y (B, Tp), zf (B, 2))."""
+    Yaug, er_row, ei_row, pL, qpow = tables
+    b, tp = x.shape
+    nblk = tp // L
     xb = x.reshape(b, nblk, L)
     kw = dict(preferred_element_type=jnp.float32,
               precision=_matmul_precision())
-    s1_loc = jnp.einsum("bjm,nm->bjn", xb, E1, **kw)
-    s2_loc = jnp.einsum("bjm,nm->bjn", xb, E2, **kw)
-    e = jnp.stack([s1_loc[..., -1], s2_loc[..., -1]], -1)  # (B, nblk, 2)
+    er = jnp.einsum("bjm,m->bj", xb, er_row, **kw)
+    ei = jnp.einsum("bjm,m->bj", xb, ei_row, **kw)
+    win_r, win_i, we_r, we_i = _carry_scan_complex(er, ei, s0, pL)
+    xaug = jnp.concatenate(
+        [xb, win_r[..., None], win_i[..., None]], axis=-1
+    )  # (B, nblk, L+2)
+    y = jnp.einsum("bjm,mn->bjn", xaug, Yaug, **kw).reshape(b, tp)
+    # zf = w[t−1]: end-state of the block containing t−1 when t is at a
+    # block edge, else one small matvec on that block.
+    jstar, nstar = (t - 1) // L, (t - 1) % L
+    if nstar == L - 1:
+        zf = jnp.stack([we_r[:, jstar], we_i[:, jstar]], -1)
+    else:
+        # w[t−1] = Σ_{m≤n*} p^(n*−m) x[j*,m] + p^(n*+1)·w_in[j*]
+        coef_r = er_row[L - 1 - nstar:]  # p^(n*−m), m = 0..n*  (reversed tail)
+        coef_i = ei_row[L - 1 - nstar:]
+        xs = xb[:, jstar, : nstar + 1]
+        wr = jnp.einsum("bm,m->b", xs, coef_r, **kw) \
+            + qpow[0, nstar] * win_r[:, jstar] - qpow[1, nstar] * win_i[:, jstar]
+        wi = jnp.einsum("bm,m->b", xs, coef_i, **kw) \
+            + qpow[0, nstar] * win_i[:, jstar] + qpow[1, nstar] * win_r[:, jstar]
+        zf = jnp.stack([wr, wi], -1)
+    return y, zf
 
-    def step(c, eb):
-        n = eb + jnp.einsum("id,bd->bi", AL, c,
-                            precision=jax.lax.Precision.HIGHEST)
-        return n, c
 
-    _, s_in = lax.scan(step, s0, e.swapaxes(0, 1))
-    s_in = s_in.swapaxes(0, 1)  # (B, nblk, 2): state entering block j
-    corr = jnp.einsum("nid,bjd->bjni", Q, s_in,
-                      precision=jax.lax.Precision.HIGHEST)
-    s1 = (s1_loc + corr[..., 0]).reshape(b, t)
-    s2 = (s2_loc + corr[..., 1]).reshape(b, t)
-    s1_prev = jnp.concatenate([s0[:, :1], s1[:, :-1]], axis=-1)
-    y = b0 * x + s1_prev
-    return y, s1, s2
+def _companion_section(x, s0, tables, L, t):
+    Yaug, e1_row, e2_row, AL, qpow = tables
+    b, tp = x.shape
+    nblk = tp // L
+    xb = x.reshape(b, nblk, L)
+    kw = dict(preferred_element_type=jnp.float32,
+              precision=_matmul_precision())
+    e1 = jnp.einsum("bjm,m->bj", xb, e1_row, **kw)
+    e2 = jnp.einsum("bjm,m->bj", xb, e2_row, **kw)
+    s_in, s_end = _carry_scan_mat(jnp.stack([e1, e2], -1), s0, AL)
+    xaug = jnp.concatenate([xb, s_in], axis=-1)  # (B, nblk, L+2)
+    y = jnp.einsum("bjm,mn->bjn", xaug, Yaug, **kw).reshape(b, tp)
+    jstar, nstar = (t - 1) // L, (t - 1) % L
+    if nstar == L - 1:
+        zf = s_end[:, jstar, :]
+    else:
+        xs = xb[:, jstar, : nstar + 1]
+        s1 = jnp.einsum("bm,m->b", xs, e1_row[L - 1 - nstar:], **kw)
+        s2 = jnp.einsum("bm,m->b", xs, e2_row[L - 1 - nstar:], **kw)
+        loc = jnp.stack([s1, s2], -1)
+        zf = loc + jnp.einsum("id,bd->bi", qpow[..., nstar],
+                              s_in[:, jstar, :],
+                              precision=jax.lax.Precision.HIGHEST)
+    return y, zf
 
 
-def _factory(kinds, consts, L: int, return_zf: bool):
+def _factory(kinds, L: int, return_zf: bool, t: int):
     @jax.jit
     def run(x, tables, zi_b):
         shape = x.shape
-        t = shape[-1]
         xb = x.reshape(-1, t).astype(jnp.float32)
         tp = t + ((-t) % L)
         cur = jnp.pad(xb, ((0, 0), (0, tp - t)))
         zf = []
         for s, kind in enumerate(kinds):
-            if kind == "coupled":
-                c1, c2, b0 = consts[s]
-                cur, wr, wi = _coupled_section_matmul(
-                    cur, zi_b[:, s, :], tables[s], c1, c2, b0, L
-                )
-                if return_zf:
-                    zf.append(jnp.stack([wr[:, t - 1], wi[:, t - 1]], -1))
-            else:
-                (b0,) = consts[s]
-                cur, s1, s2 = _companion_section_matmul(
-                    cur, zi_b[:, s, :], tables[s], b0, L
-                )
-                if return_zf:
-                    zf.append(jnp.stack([s1[:, t - 1], s2[:, t - 1]], -1))
+            fn = _coupled_section if kind == "coupled" else _companion_section
+            cur, z = fn(cur, zi_b[:, s, :], tables[s], L, t)
+            if return_zf:
+                zf.append(z)
         y = cur[:, :t].reshape(shape).astype(x.dtype)
         if not return_zf:
             return y
@@ -184,9 +240,9 @@ def _factory(kinds, consts, L: int, return_zf: bool):
     return run
 
 
-@functools.lru_cache(maxsize=128)
-def _run_cached(kinds, consts, L, return_zf):
-    return _factory(kinds, consts, L, return_zf)
+@functools.lru_cache(maxsize=256)
+def _run_cached(kinds, L, return_zf, t):
+    return _factory(kinds, L, return_zf, t)
 
 
 def sosfilt_matmul(
@@ -209,20 +265,18 @@ def sosfilt_matmul(
         raise ValueError(f"sos must be (ns, 6), got {sos_np.shape}")
     kinds = []
     tables = []
-    consts = []
     L = int(block_size)
     for row in sos_np:
         kind, prm = section_realization(row)
         kinds.append(kind)
         if kind == "coupled":
             alpha, beta, c1, c2, b0 = (float(v) for v in prm)
-            tables.append(_coupled_tables(alpha, beta, L))
-            consts.append((np.float32(c1), np.float32(c2), np.float32(b0)))
+            tables.append(_coupled_tables(alpha, beta, c1, c2, b0, L))
         else:
             b0, b1, b2, _, a1, a2 = (float(v) for v in row)
             tables.append(_companion_tables(a1, a2, b0, b1, b2, L))
-            consts.append((np.float32(b0),))
-    run = _run_cached(tuple(kinds), tuple(consts), L, bool(return_zf))
+    t = int(x.shape[-1])
+    run = _run_cached(tuple(kinds), L, bool(return_zf), t)
     nb = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
     ns = sos_np.shape[0]
     if zi is None:
