@@ -19,6 +19,7 @@ Layering (SURVEY.md §1b):
 __version__ = "0.1.0"
 
 from llzlab_tpu.ops import (  # noqa: F401
+    remez,
     fft,
     ifft,
     rfft,

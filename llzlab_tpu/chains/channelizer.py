@@ -45,7 +45,8 @@ class Channelizer:
       up, down: resampling ratio (default 147/160 = 48 k→44.1 k).
       fft_n: spectral frame length (default 2048).
       resample_taps: polyphase prototype (default 64 taps/phase design).
-      fir_method: "ols" | "direct".
+      fir_method: "ols" | "direct" | "block2" (two-matmul Toeplitz — the
+        measured TPU winner at ≤2k taps, see ops/fir.py).
     """
 
     def __init__(
@@ -86,11 +87,12 @@ class Channelizer:
         """Smallest per-shard T granularity satisfying every stage:
         multiple of the OLS hop and of `down`, with the resampled length a
         multiple of fft_n."""
-        hop = (
-            _fir.ols_hop(len(self.fir_taps), self.nfft)
-            if self.fir_method == "ols"
-            else 1
-        )
+        if self.fir_method == "ols":
+            hop = _fir.ols_hop(len(self.fir_taps), self.nfft)
+        elif self.fir_method == "block2":
+            hop = _fir.block2_block(len(self.fir_taps))
+        else:
+            hop = 1
         m = _lcm(hop, self.down)
         # need (m·k)·up/down % fft_n == 0 → k multiple of fft_n/gcd
         per = m * self.up // self.down  # resampled samples per m inputs
