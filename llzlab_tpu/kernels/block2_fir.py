@@ -69,16 +69,44 @@ def _w_matrix(taps: np.ndarray, block: int) -> np.ndarray:
     return w
 
 
+def band_k(ntaps: int, block: int) -> int:
+    """Contraction-band width per 128-column output tile.
+
+    Output column i of W = [[B],[A]] is W[m, i] = h[block + i − m],
+    nonzero only for m ∈ [block+i−ntaps+1, block+i] — an ntaps-row band.
+    A 128-column tile therefore touches ntaps+127 rows; aligned to the
+    128-lane grid that is ``block + 128 − 128·⌊(block−ntaps+1)/128⌋``
+    (= 1152 for the headline 1024-tap/1024-block case → 1.78× fewer
+    MACs than the dense 2·block contraction).
+    """
+    return block + 128 - 128 * ((block - ntaps + 1) // 128)
+
+
 @functools.lru_cache(maxsize=16)
 def _tables_cached(taps_bytes: bytes, block: int, mode: str):
     taps = np.frombuffer(taps_bytes, np.float64)
     w = _w_matrix(taps, block)
+    kb = band_k(len(taps), block)
+    nt = block // 128
+    wt = np.zeros((nt, kb, 128), np.float64)
+    for g in range(nt):
+        ms = g * 128 + block + 128 - kb
+        wt[g] = w[ms : ms + kb, g * 128 : (g + 1) * 128]
     with jax.ensure_compile_time_eval():
         if mode == "highest":
-            return (jnp.asarray(w.astype(np.float32)),)
-        hi = w.astype(np.float32).astype(jnp.bfloat16)
-        lo = (w - np.asarray(hi, np.float64)).astype(np.float32)
-        return jnp.asarray(hi), jnp.asarray(lo).astype(jnp.bfloat16)
+            return (jnp.asarray(wt.astype(np.float32)),)
+        hi = wt.astype(np.float32).astype(jnp.bfloat16)
+        lo_f = wt - np.asarray(hi, np.float64)
+        lo = lo_f.astype(np.float32).astype(jnp.bfloat16)
+        if mode == "highcat":
+            cat = np.concatenate(
+                [np.asarray(hi, np.float32),
+                 np.asarray(hi, np.float32),
+                 np.asarray(lo, np.float32)],
+                axis=1,
+            )
+            return (jnp.asarray(cat).astype(jnp.bfloat16),)
+        return jnp.asarray(hi), jnp.asarray(lo)
 
 
 def block2_pallas_tables(taps, block: int, mode: str = "high"):
@@ -104,7 +132,7 @@ def _slab(jt, block, x_ref, xn_ref):
     return c, s
 
 
-def _kernel_high(jt, block, x_ref, xn_ref, whi_ref, wlo_ref, o_ref):
+def _kernel_high(jt, block, kb, x_ref, xn_ref, whi_ref, wlo_ref, o_ref):
     c, s = _slab(jt, block, x_ref, xn_ref)  # (C·jt, 2·block) f32
     s_hi = s.astype(jnp.bfloat16)
     s_lo = (s - s_hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -115,20 +143,56 @@ def _kernel_high(jt, block, x_ref, xn_ref, whi_ref, wlo_ref, o_ref):
             preferred_element_type=jnp.float32,
         )
 
-    y = dot(s_hi, whi_ref[:]) + dot(s_lo, whi_ref[:]) + dot(s_hi, wlo_ref[:])
-    for j in range(jt):
-        o_ref[:, j * block : (j + 1) * block] = y[j * c : (j + 1) * c, :]
+    nt = block // 128
+    for g in range(nt):
+        ms = g * 128 + block + 128 - kb
+        sh = s_hi[:, ms : ms + kb]
+        sl = s_lo[:, ms : ms + kb]
+        y = dot(sh, whi_ref[g]) + dot(sl, whi_ref[g]) + dot(sh, wlo_ref[g])
+        for j in range(jt):
+            o_ref[:, j * block + g * 128 : j * block + (g + 1) * 128] = (
+                y[j * c : (j + 1) * c, :]
+            )
 
 
-def _kernel_highest(jt, block, x_ref, xn_ref, w_ref, o_ref):
+def _kernel_highcat(jt, block, kb, x_ref, xn_ref, wcat_ref, o_ref):
+    """bf16x3 as ONE dot per column tile: the three passes are stacked
+    along K — [s_hi | s_lo | s_hi] @ [[W_hi]; [W_hi]; [W_lo]] — so the
+    MXU sees a single (C·jt, 3·kb)·(3·kb, 128) matmul instead of three
+    pipeline-draining small ones."""
     c, s = _slab(jt, block, x_ref, xn_ref)
-    y = jax.lax.dot_general(
-        s, w_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    for j in range(jt):
-        o_ref[:, j * block : (j + 1) * block] = y[j * c : (j + 1) * c, :]
+    s_hi = s.astype(jnp.bfloat16)
+    s_lo = (s - s_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    nt = block // 128
+    for g in range(nt):
+        ms = g * 128 + block + 128 - kb
+        sh = s_hi[:, ms : ms + kb]
+        sl = s_lo[:, ms : ms + kb]
+        scat = jnp.concatenate([sh, sl, sh], axis=1)
+        y = jax.lax.dot_general(
+            scat, wcat_ref[g], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        for j in range(jt):
+            o_ref[:, j * block + g * 128 : j * block + (g + 1) * 128] = (
+                y[j * c : (j + 1) * c, :]
+            )
+
+
+def _kernel_highest(jt, block, kb, x_ref, xn_ref, w_ref, o_ref):
+    c, s = _slab(jt, block, x_ref, xn_ref)
+    nt = block // 128
+    for g in range(nt):
+        ms = g * 128 + block + 128 - kb
+        y = jax.lax.dot_general(
+            s[:, ms : ms + kb], w_ref[g], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        for j in range(jt):
+            o_ref[:, j * block + g * 128 : j * block + (g + 1) * 128] = (
+                y[j * c : (j + 1) * c, :]
+            )
 
 
 @functools.partial(
@@ -146,14 +210,18 @@ def _block2_pallas_jit(xpad, tables, *, block: int, mode: str,
     need = (nprog * jt + 1) * block
     xp = jnp.pad(xpad, ((0, 0), (0, need - tp))) if need > tp else xpad
 
-    kern = _kernel_high if mode == "high" else _kernel_highest
+    kern = {"high": _kernel_high, "highcat": _kernel_highcat,
+            "highest": _kernel_highest}[mode]
+    kb = tables[0].shape[1]
+    if mode == "highcat":
+        kb //= 3
     wspecs = [
         pl.BlockSpec(w.shape, (lambda i: (0,) * w.ndim),
                      memory_space=pltpu.VMEM)
         for w in tables
     ]
     y = pl.pallas_call(
-        functools.partial(kern, jt, block),
+        functools.partial(kern, jt, block, kb),
         grid=(nprog,),
         in_specs=[
             # program i sees input blocks [i·jt, i·jt + jt) …

@@ -76,3 +76,16 @@ from llzlab_tpu.ops.analysis import (  # noqa: F401
     group_delay,
     spectrogram,
 )
+from llzlab_tpu.ops.analysis import (  # noqa: F401
+    hilbert,
+    periodogram,
+    welch,
+)
+from llzlab_tpu.ops.smooth import (  # noqa: F401
+    detrend,
+    savgol_coeffs,
+    savgol_filter,
+    medfilt,
+    wiener,
+)
+from llzlab_tpu.ops.chirpz import czt, zoom_fft, resample_fourier  # noqa: F401
