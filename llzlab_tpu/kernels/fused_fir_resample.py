@@ -1,0 +1,334 @@
+"""Pallas TPU kernel: fused block2-FIR + polyphase-resample chain step.
+
+Capability parity target: the reference's ``llz_fir.c`` + ``llz_resample.c``
+streaming loops composed per frame (mount empty — spec anchors
+BASELINE.json:2 "1024-tap FIR+resample chain" and BASELINE.json:5
+"speed-of-light ... MXU-bound for block convolution").
+
+The unfused chain runs the block2 FIR (two banded Toeplitz matmuls) and
+the polyphase slab matmul as separate XLA/Pallas calls, bouncing the
+full-rate intermediate ``y`` through HBM and paying XLA relayouts between
+them.  This kernel keeps the whole step VMEM-resident:
+
+  per grid program (P = G·down input samples, G·up output samples):
+    1. block2 FIR into a VMEM scratch ``y_ext`` — ``P/block + 1`` output
+       blocks, the extra left block recomputing the resampler's
+       ``K−1``-sample lookback halo from input history (cheap: one
+       duplicated block per program, and bitwise identical to the
+       neighbouring program's copy since the operands and tile order
+       match exactly);
+    2. the dense polyphase group matmul straight out of ``y_ext``:
+       ``slab (B·G, down+K−1) @ Wᵀ (down+K−1, up)``.
+
+``G`` is chosen so ``G·up ≡ 0 (mod 128)`` — output writes stay
+lane-aligned (147/160 → G = 128, P = 20480, 18816 outputs/program).
+
+Precision modes (matching kernels/block2_fir.py):
+  * ``"high"``  — explicit bf16x3: operands split into bf16 hi/lo on the
+    VPU, products ``S_hi·W_hi + S_lo·W_hi + S_hi·W_lo`` (three single-pass
+    MXU matmuls; the dropped lo·lo term is ~2⁻³² relative).
+  * ``"highest"`` — full-f32 dots (Mosaic supports DEFAULT|HIGHEST), ~2×
+    slower, ~139 dB.
+
+Streaming state is the last ``2·block`` *input* samples — the FIR history
+(1 block) plus enough extra reach to recompute the resampler's y-history
+(``(K−1) + (ntaps−1) ≤ 2·block`` by construction), so the op carries ONE
+tensor where the unfused chain carries two.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from llzlab_tpu.kernels.block2_fir import band_k, block2_pallas_tables
+from llzlab_tpu.ops.fir import block2_block
+from llzlab_tpu.ops.resample import polyphase_weights, resample_output_len
+
+__all__ = [
+    "fused_fir_resample_pallas",
+    "fused_supports",
+    "fused_program_in",
+    "fused_state_len",
+    "fused_tables",
+]
+
+
+def fused_program_in(ntaps: int, up: int, down: int) -> int:
+    """Input samples per grid program: the smallest P with
+    ``P % (2·block) == 0``, ``P % down == 0`` and ``(P/down)·up % 128 == 0``.
+    """
+    block = block2_block(ntaps)
+    g0 = 128 // math.gcd(up, 128)
+    return (g0 * down * 2 * block) // math.gcd(g0 * down, 2 * block)
+
+
+def fused_state_len(ntaps: int) -> int:
+    """Streaming history length (input samples): ``2·block``."""
+    return 2 * block2_block(ntaps)
+
+
+def fused_supports(channels: int, ntaps: int, up: int, down: int,
+                   k: int, t: int) -> bool:
+    """Shape envelope this kernel handles (caller falls back otherwise)."""
+    block = block2_block(ntaps)
+    if not (channels >= 8 and channels % 8 == 0):
+        return False
+    if not (ntaps - 1 <= block <= 2048):
+        return False
+    if k - 1 > block or k - 1 > down + block:  # halo must fit one y-block
+        return False
+    p = fused_program_in(ntaps, up, down)
+    if p > 65536:  # VMEM envelope (~P·B·4·2 bytes of input double-buffer)
+        return False
+    return t % p == 0 and t > 0
+
+
+@functools.lru_cache(maxsize=16)
+def _rs_tables_cached(r_bytes: bytes, up: int, down: int, mode: str):
+    rtaps = np.frombuffer(r_bytes, np.float64)
+    w = polyphase_weights(rtaps, up, down).T  # (down+K−1, up) float64
+    # Pad the contraction dim to a lane multiple: the kernel slices fixed
+    # 128-multiple windows out of the y scratch and the zero rows absorb
+    # the over-read (scratch tail is explicitly zeroed).
+    k2p = -(-w.shape[0] // 128) * 128
+    w = np.pad(w, ((0, k2p - w.shape[0]), (0, 0)))
+    with jax.ensure_compile_time_eval():
+        if mode == "highest":
+            return (jnp.asarray(w.astype(np.float32)),)
+        hi = w.astype(np.float32).astype(jnp.bfloat16)
+        lo = (w - np.asarray(hi, np.float64)).astype(np.float32).astype(
+            jnp.bfloat16
+        )
+        return jnp.asarray(hi), jnp.asarray(lo)
+
+
+def fused_tables(fir_taps, rtaps, up: int, down: int, mode: str = "high"):
+    """Host-built weight tables: FIR banded tiles + resample bank."""
+    block = block2_block(len(np.asarray(fir_taps)))
+    wt = block2_pallas_tables(fir_taps, block, mode)
+    rt = _rs_tables_cached(
+        np.asarray(rtaps, np.float64).tobytes(), up, down, mode
+    )
+    return wt + rt
+
+
+def _dot(a, b, highest=False):
+    kw = dict(preferred_element_type=jnp.float32)
+    if highest:
+        kw["precision"] = jax.lax.Precision.HIGHEST
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())), **kw)
+
+
+def _bf16_split(s):
+    hi = s.astype(jnp.bfloat16)
+    lo = (s - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _kernel(block, kb, nt, nyb, up, down, k2, G, off, mode, gb, rs_batch,
+            x1_ref, x2_ref, *refs):
+    if mode == "high":
+        whi_ref, wlo_ref, rhi_ref, rlo_ref, o_ref, y_ref = refs[:6]
+    else:
+        w_ref, r_ref, o_ref, y_ref = refs[:4]
+    sl_ref = refs[-1] if rs_batch > 1 else None
+    b = x1_ref.shape[0]
+    n1 = x1_ref.shape[1] // block
+
+    def piece(j):
+        if j < n1:
+            return x1_ref[:, j * block : (j + 1) * block]
+        return x2_ref[:, (j - n1) * block : (j - n1 + 1) * block]
+
+    # ---- stage 1: block2 FIR into VMEM scratch -------------------------
+    # Local y block m covers global FIR outputs [i·P − block + m·block, …);
+    # its operand pair is local window blocks (m, m+1).
+    for g0 in range(0, nyb, gb):
+        gs = min(gb, nyb - g0)
+        rows = [
+            jnp.concatenate([piece(g0 + j), piece(g0 + j + 1)], axis=1)
+            for j in range(gs)
+        ]
+        s = jnp.concatenate(rows, axis=0) if gs > 1 else rows[0]
+        if mode == "high":
+            s_hi, s_lo = _bf16_split(s)
+        for t in range(nt):
+            ms = t * 128 + block + 128 - kb
+            if mode == "high":
+                sh = s_hi[:, ms : ms + kb]
+                sl = s_lo[:, ms : ms + kb]
+                y = (_dot(sh, whi_ref[t]) + _dot(sl, whi_ref[t])
+                     + _dot(sh, wlo_ref[t]))
+            else:
+                y = _dot(s[:, ms : ms + kb], w_ref[t], highest=True)
+            for j in range(gs):
+                col = (g0 + j) * block + t * 128
+                y_ref[:, col : col + 128] = y[j * b : (j + 1) * b, :]
+
+    # ---- stage 2: polyphase group matmul straight out of VMEM ----------
+    # Group s consumes y_ext[off + s·down : … + k2); windows are sliced
+    # per group (Mosaic handles the unaligned lane offsets with rolls —
+    # a (…, G, down) reshape with down ∤ 128 is not expressible) and the
+    # contraction is padded to k2p lanes with zero weight rows.
+    k2p = (rhi_ref if mode == "high" else r_ref).shape[0]
+    nyb_cols = nyb * block
+    if off + (G - 1) * down + k2p > nyb_cols:
+        # zero the scratch tail the padded windows over-read
+        y_ref[:, nyb_cols:] = jnp.zeros(
+            (b, y_ref.shape[1] - nyb_cols), jnp.float32
+        )
+    def rs_dot(sl):
+        if mode == "high":
+            sh, slo = _bf16_split(sl)
+            return (_dot(sh, rhi_ref[:, :]) + _dot(slo, rhi_ref[:, :])
+                    + _dot(sh, rlo_ref[:, :]))
+        return _dot(sl, r_ref[:, :], highest=True)
+
+    if rs_batch <= 1:
+        # One dot triple per group, straight from the unaligned window
+        # (Mosaic relayouts the operand; no cross-offset concat needed).
+        for s in range(G):
+            a0 = off + s * down
+            z = rs_dot(y_ref[:, a0 : a0 + k2p])
+            o_ref[:, s * up : (s + 1) * up] = z[:, :up]
+    else:
+        # Batch rs_batch groups into the M dimension by staging the
+        # windows through a VMEM scratch — the stores normalise the
+        # per-group lane-offset layouts that a direct sublane concat
+        # of the slices cannot mix.
+        for t in range(0, G, rs_batch):
+            gs = min(rs_batch, G - t)
+            for j in range(gs):
+                a0 = off + (t + j) * down
+                sl_ref[j * b : (j + 1) * b, :] = y_ref[:, a0 : a0 + k2p]
+            z = rs_dot(sl_ref[: gs * b, :])
+            for j in range(gs):
+                o_ref[:, (t + j) * up : (t + j + 1) * up] = (
+                    z[j * b : (j + 1) * b, :up]
+                )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ntaps", "up", "down", "k", "mode", "interpret", "gb",
+                     "rs_batch"),
+)
+def _fused_pallas_jit(xh, tables, *, ntaps: int, up: int, down: int,
+                      k: int, mode: str, interpret: bool, gb: int = 0,
+                      rs_batch: int = 1):
+    block = block2_block(ntaps)
+    b, tp = xh.shape
+    t = tp - 2 * block
+    p_in = fused_program_in(ntaps, up, down)
+    if t % p_in:
+        raise ValueError(f"T={t} must be a multiple of P={p_in}")
+    nprog = t // p_in
+    G = p_in // down
+    nyb = p_in // block + 1         # y blocks per program (1 halo block)
+    k2 = down + k - 1
+    off = block - (k - 1)           # slab start inside y_ext
+    kb = band_k(ntaps, block)
+    nt = block // 128
+    if gb <= 0:
+        gb = max(1, 128 // max(b, 1))
+    # y_ext must cover the last group's padded k2p-lane window.
+    k2p = -(-k2 // 128) * 128
+    ys_len = off + (G - 1) * down + k2p
+    ys_len = -(-ys_len // 128) * 128
+
+    wspecs = [
+        pl.BlockSpec(w.shape, (lambda i, _n=w.ndim: (0,) * _n),
+                     memory_space=pltpu.VMEM)
+        for w in tables
+    ]
+    x2_idx = p_in // (2 * block)
+    scratch = [pltpu.VMEM((b, ys_len), jnp.float32)]
+    if rs_batch > 1:
+        scratch.append(pltpu.VMEM((rs_batch * b, k2p), jnp.float32))
+    z = pl.pallas_call(
+        functools.partial(_kernel, block, kb, nt, nyb, up, down, k2, G,
+                          off, mode, gb, rs_batch),
+        grid=(nprog,),
+        in_specs=[
+            # program i: input window = xh blocks [i·P, i·P + P) …
+            pl.BlockSpec((b, p_in), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            # … plus 2·block of lookahead (the same array passed twice;
+            # index in units of the (b, 2·block) block shape).
+            pl.BlockSpec((b, 2 * block),
+                         lambda i, _x=x2_idx: (0, i * _x + _x),
+                         memory_space=pltpu.VMEM),
+            *wspecs,
+        ],
+        out_specs=pl.BlockSpec((b, G * up), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, nprog * G * up), jnp.float32),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xh, xh, *tables)
+    return z
+
+
+def fused_fir_resample_pallas(
+    x: jnp.ndarray,
+    fir_taps,
+    up: int,
+    down: int,
+    rtaps,
+    *,
+    zi=None,
+    return_zf: bool = False,
+    mode: str = "high",
+    interpret: bool = False,
+):
+    """Fused FIR→resample on ``(..., T)`` → ``(..., T·up/down)``.
+
+    Numerically equal (matmul-reassociated) to
+    ``resample_poly(fir_filter(x, fir_taps, method="block2"), up, down,
+    taps=rtaps)``.  ``zi``: ``(..., 2·block)`` input history (zeros if
+    omitted); ``return_zf`` also returns the final history.  Requires
+    ``fused_supports(...)`` shapes; ``T`` a multiple of
+    :func:`fused_program_in` for exact streaming.
+    """
+    g = math.gcd(up, down)
+    up, down = up // g, down // g
+    fir_np = np.asarray(jax.device_get(fir_taps), np.float64)
+    r_np = np.asarray(jax.device_get(rtaps), np.float64)
+    if len(r_np) % up:
+        r_np = np.pad(r_np, (0, up - len(r_np) % up))
+    k = len(r_np) // up
+    ntaps = len(fir_np)
+    block = block2_block(ntaps)
+    tables = fused_tables(fir_np, r_np, up, down, mode)
+
+    shape = x.shape
+    t = shape[-1]
+    xb = x.reshape(-1, t).astype(jnp.float32)
+    b = xb.shape[0]
+    if zi is None:
+        hist = jnp.zeros((b, 2 * block), jnp.float32)
+    else:
+        hist = zi.reshape(b, 2 * block).astype(jnp.float32)
+    xh = jnp.concatenate([hist, xb], axis=-1)
+    z = _fused_pallas_jit(
+        xh, tables, ntaps=ntaps, up=up, down=down, k=k, mode=mode,
+        interpret=interpret,
+    )
+    n_out = resample_output_len(t, up, down)
+    z = z[:, :n_out].reshape(shape[:-1] + (n_out,)).astype(x.dtype)
+    if not return_zf:
+        return z
+    zf = xh[:, -2 * block:].astype(x.dtype).reshape(
+        shape[:-1] + (2 * block,)
+    )
+    return z, zf

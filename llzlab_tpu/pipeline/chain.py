@@ -145,8 +145,17 @@ class SpectralGainStage(Stage):
 
     ``gain`` is an ``(n_fft//2+1,)`` array, or a callable mapping the
     complex spectrum ``(..., nf, bins)`` to a (broadcastable) gain.
-    Stateless per block (block-edge windows taper via the COLA envelope);
-    feeding blocks at hop multiples keeps interior frames identical.
+
+    Streaming is boundary-exact: the stage carries the analysis lookback
+    (``overlap = n_fft − hop`` input samples), the synthesis OLA tail and
+    the window-square envelope tail, so concatenated streamed blocks equal
+    the one-shot ``istft(gain·stft(x))`` at EVERY sample — not just the
+    frame interior (same math as parallel/spectral_sp.py's shard-boundary
+    exchange, applied in time).  A frame can only be synthesized once all
+    of its samples have arrived, so the stage has a fixed latency of
+    ``overlap`` samples: block ``b`` (length T) emits one-shot samples
+    ``[b·T − overlap, (b+1)·T − overlap)`` and the stream leads with
+    ``overlap`` zeros.  :meth:`flush` drains the final ``overlap`` samples.
     """
 
     def __init__(
@@ -161,24 +170,78 @@ class SpectralGainStage(Stage):
         self.gain = gain if callable(gain) else np.asarray(gain, np.float32)
         self.n_fft = n_fft
         self.hop = hop or n_fft // 4
+        if self.n_fft % self.hop:
+            raise ValueError("hop must divide n_fft")
         self.window = window
         self.method = method
         self.block_multiple = self.hop
+        #: output samples lag input samples by this much (WOLA lookback)
+        self.latency = self.n_fft - self.hop
+
+    def init_state(self, batch_shape, dtype=jnp.float32):
+        ov = self.latency
+        return {
+            "x_hist": jnp.zeros(batch_shape + (ov,), jnp.float32),
+            "ola": jnp.zeros(batch_shape + (ov,), jnp.float32),
+            "env": jnp.zeros((ov,), jnp.float32),
+            # input samples consumed so far, saturated at `ov` — only the
+            # threshold matters (masks the zero-pad frames at stream start)
+            "pos": jnp.zeros((), jnp.int32),
+        }
+
+    def _window(self):
+        from llzlab_tpu.ops.window import get_window
+
+        return jnp.asarray(
+            get_window(self.window, self.n_fft, periodic=True).astype(
+                np.float32
+            )
+        )
 
     def apply(self, x, state):
-        spec = _stft.stft(
-            x, n_fft=self.n_fft, hop=self.hop, window=self.window,
-            method=self.method,
+        ov = self.latency
+        ratio = self.n_fft // self.hop
+        t = x.shape[-1]
+        if t % self.hop:
+            raise ValueError(f"block length {t} not a multiple of hop")
+        w = self._window()
+        ext = jnp.concatenate(
+            [state["x_hist"], x.astype(jnp.float32)], axis=-1
         )
+        frames = _stft.frame(ext, self.n_fft, self.hop) * w
+        nf = frames.shape[-2]  # == t // hop
+        spec = _fft.rfft(frames, self.n_fft, method=self.method)
         if callable(self.gain):
             spec = spec * self.gain(spec)
         else:
             spec = spec * jnp.asarray(self.gain)
-        y = _stft.istft(
-            spec, n_fft=self.n_fft, hop=self.hop, window=self.window,
-            method=self.method, length=x.shape[-1],
-        )
-        return y.astype(x.dtype), state
+        synth = _fft.irfft(spec, self.n_fft, method=self.method) * w
+        # Early stream blocks: ext leads with zero-pad frames (global
+        # frame start < 0) that the one-shot run never sees — mask them.
+        # Frame k starts at global input position pos + k·hop − ov.
+        mask = (
+            state["pos"] + jnp.arange(nf) * self.hop >= ov
+        ).astype(jnp.float32)
+        synth = synth * mask[:, None]
+        buf = _stft.overlap_add(synth, self.hop)  # (..., ov + t)
+        wsq = jnp.broadcast_to(w * w, (nf, self.n_fft)) * mask[:, None]
+        env = _stft.overlap_add(wsq, self.hop)  # (ov + t,)
+        buf = buf.at[..., :ov].add(state["ola"])
+        env = env.at[:ov].add(state["env"])
+        y = (buf[..., :t] / jnp.maximum(env[:t], 1e-8)).astype(x.dtype)
+        new_state = {
+            "x_hist": ext[..., t:],
+            "ola": buf[..., t:],
+            "env": env[t:],
+            "pos": jnp.minimum(state["pos"] + t, ov).astype(jnp.int32),
+        }
+        return y, new_state
+
+    def flush(self, state, dtype=jnp.float32):
+        """Final ``overlap`` output samples once the stream ends."""
+        return (
+            state["ola"] / jnp.maximum(state["env"], 1e-8)
+        ).astype(dtype)
 
 
 class FFTStage(Stage):

@@ -77,11 +77,14 @@ class TestChainBasics:
 
     def test_spectral_gain_chain(self, snr):
         gain = np.ones(1025, np.float32)
-        chain = Chain([SpectralGainStage(gain)])
+        stage = SpectralGainStage(gain)
+        chain = Chain([stage])
         rng = np.random.default_rng(55)
         x = rng.standard_normal((8, 16384)).astype(np.float32)
         y = np.asarray(chain(x))
-        assert snr(x[:, 2048:-2048], y[:, 2048:-2048]) >= 120.0
+        # the stage delays by `latency` samples (WOLA lookback)
+        ov = stage.latency
+        assert snr(x[:, 2048 - ov : -2048 - ov], y[:, 2048:-2048]) >= 120.0
 
     def test_channelizer_chain_shape(self):
         taps = lz.firwin(1024, 0.4)
@@ -102,3 +105,57 @@ class TestChainBasics:
         y1, _ = jitted(x, state)
         y2, _ = chain.apply(x, state)
         np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
+
+
+class TestSpectralGainStreaming:
+    """BASELINE.json:10 streaming: streamed blocks == one-shot at EVERY
+    sample (block boundaries included), via the carried WOLA state."""
+
+    def _oneshot(self, x, gain, n_fft=2048, hop=512):
+        spec = lz.stft(x, n_fft=n_fft, hop=hop)
+        return np.asarray(
+            lz.istft(spec * gain, n_fft=n_fft, hop=hop, length=x.shape[-1])
+        )
+
+    def _stream(self, stage, x, t_blk):
+        state = stage.init_state(x.shape[:-1])
+        outs = []
+        for i in range(0, x.shape[-1], t_blk):
+            y, state = stage.apply(jnp.asarray(x[:, i : i + t_blk]), state)
+            outs.append(np.asarray(y))
+        outs.append(np.asarray(stage.flush(state)))
+        return np.concatenate(outs, axis=-1)
+
+    def test_streamed_equals_oneshot_incl_boundaries(self, snr):
+        rng = np.random.default_rng(58)
+        x = rng.standard_normal((3, 16384)).astype(np.float32)
+        gain = np.linspace(1.0, 0.25, 1025).astype(np.float32)
+        stage = SpectralGainStage(gain)
+        ref = self._oneshot(x, gain)
+        ys = self._stream(stage, x, 4096)
+        ov = stage.latency
+        # stream = [ov zeros][one-shot samples 0..L) (flush gives the tail)
+        np.testing.assert_array_equal(ys[:, :ov], 0.0)
+        assert snr(ref, ys[:, ov:]) >= 140.0
+
+    def test_block_size_invariance(self, snr):
+        rng = np.random.default_rng(59)
+        x = rng.standard_normal((2, 16384)).astype(np.float32)
+        gain = np.linspace(0.5, 1.5, 1025).astype(np.float32)
+        ref = self._oneshot(x, gain)
+        for t_blk in (512, 2048, 8192):
+            stage = SpectralGainStage(gain)
+            ys = self._stream(stage, x, t_blk)
+            assert snr(ref, ys[:, stage.latency :]) >= 140.0, t_blk
+
+    def test_callable_gain_streaming(self, snr):
+        rng = np.random.default_rng(60)
+        x = rng.standard_normal((2, 8192)).astype(np.float32)
+        fn = lambda spec: 1.0 / (1.0 + jnp.abs(spec) / 100.0)
+        stage = SpectralGainStage(fn)
+        # callable gains are per-frame; frames are identical between the
+        # streamed and one-shot runs, so the invariant still holds
+        spec = lz.stft(x)
+        ref = np.asarray(lz.istft(spec * fn(spec), length=x.shape[-1]))
+        ys = self._stream(stage, x, 2048)
+        assert snr(ref, ys[:, stage.latency :]) >= 140.0
