@@ -37,16 +37,23 @@ def main():
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--fir-method", default=None,
-                   choices=["ols", "direct", "block2", "im2col", "fused"],
-                   help="FIR engine; default block2 on TPU, ols on CPU "
-                        "('fused' = composite FIR+resample matmul)")
+                   choices=["ols", "direct", "block2", "im2col", "fused",
+                            "fused_pallas"],
+                   help="FIR engine; default fused_pallas on TPU, ols on CPU "
+                        "('fused' = composite FIR+resample matmul, "
+                        "'fused_pallas' = single VMEM-resident Pallas step)")
     p.add_argument("--spectral", default="auto",
-                   choices=["auto", "fft", "fused", "pallas"],
+                   choices=["auto", "fft", "fused"],
                    help="overlap-save spectral engine (auto picks per backend)")
     p.add_argument("--precision", default="high",
                    choices=["highest", "high", "default"],
                    help="MXU matmul precision (high = 3-pass bf16, ~99 dB "
                         "SNR on this chain; highest = full f32, ~139 dB)")
+    p.add_argument("--skip-configs", action="store_true",
+                   help="skip the five per-config BASELINE rows "
+                        "(bench/all_configs.py) and emit only the headline")
+    p.add_argument("--channels5", type=int, default=64,
+                   help="channelizer (config 5) channel count")
     args = p.parse_args()
 
     import os
@@ -87,20 +94,36 @@ def main():
     x = jax.device_put(jnp.asarray(x_np), dev)
 
     fir_method = args.fir_method
+    on_tpu = jax.default_backend() in ("tpu", "axon")
     if fir_method is None:
-        # block2 (two-matmul Toeplitz) is the measured winner on TPU
-        # (3259 vs 1520 Msps for OLS at 1024 taps on v5e); pocketfft-based
-        # OLS wins on CPU.
-        on_tpu = jax.default_backend() in ("tpu", "axon")
-        fir_method = "block2" if on_tpu else "ols"
+        # The fused FIR+resample Pallas kernel is the measured winner on
+        # TPU (6526 vs 6323 Msps XLA block2 chain at 64ch on v5e, and
+        # +9.5 dB SNR at precision=high); pocketfft-based OLS wins on CPU.
+        fir_method = "fused_pallas" if on_tpu else "ols"
 
     spectral = args.spectral
     nfft = None
-    if spectral == "pallas":
-        nfft = 32768
     k = len(rtaps) // 147
 
-    if fir_method == "fused":
+    if fir_method == "fused_pallas":
+        from llzlab_tpu.kernels import fused_fir_resample as ff
+
+        mode = "highest" if args.precision == "highest" else "high"
+        if not ff.fused_supports(C, 1024, 147, 160, k, T):
+            log(f"fused_pallas unsupported for C={C} T={T}; "
+                f"falling back to block2 chain")
+            fir_method = "block2" if on_tpu else "ols"
+    if fir_method == "fused_pallas":
+        hlen = ff.fused_state_len(1024)
+
+        @jax.jit
+        def step(x, fir_st, rs_st):
+            z, zf = ff.fused_fir_resample_pallas(
+                x, taps, 147, 160, rtaps, zi=fir_st, return_zf=True,
+                mode=mode, interpret=not on_tpu, rs_batch=4,
+            )
+            return z, zf, rs_st
+    elif fir_method == "fused":
         from llzlab_tpu.ops import fused_chain as fc
 
         hlen = fc.fir_resample_state_len(1024, 147, 160, len(rtaps))
@@ -180,6 +203,30 @@ def main():
     ref_msps = len(xb) / dt_ref / 1e6
     log(f"serial scipy reference: {ref_msps:.1f} Msamples/s")
 
+    # --- roofline: achieved vs chip peaks (VERDICT r1 item 1) --------------
+    # MXU FLOPs per input sample for the block2(+resample) formulation:
+    # FIR contraction is the banded 1152-lane window (2·kb MACs/output at
+    # 1024 taps), resample is the padded (down+K−1→256)-lane group matmul
+    # ((147/160)·2·256 MACs/input).  bf16 pass multiplier: high = 3-pass,
+    # highest = 6-pass, default = 1-pass.
+    from llzlab_tpu.utils.profiling import roofline_report
+    from llzlab_tpu.kernels.block2_fir import band_k
+
+    passes = {"high": 3, "highest": 6, "default": 1}[args.precision]
+    kb = band_k(1024, 1024)
+    flops_per_in = 2.0 * kb + (147.0 / 160.0) * 2.0 * 256
+    bytes_per_in = 4.0 * (1.0 + 147.0 / 160.0)  # one f32 read + one write
+    roof = roofline_report(
+        seconds=dt / args.iters,
+        flops=C * T * flops_per_in * passes,
+        bytes_moved=C * T * bytes_per_in,
+        device_kind=dev.device_kind,
+    )
+    log(f"roofline: mxu_fraction_bf16={roof['mxu_fraction_bf16']:.3f} "
+        f"hbm_fraction={roof['hbm_fraction']:.3f} "
+        f"({roof['achieved_tflops']:.1f} TFLOP/s, "
+        f"{roof['achieved_gbps']:.1f} GB/s)")
+
     out = {
         "metric": "Msamples/s/chip for 1024-tap FIR+resample chain; "
                   "SNR dB vs reference",
@@ -194,7 +241,21 @@ def main():
         "fir_method": fir_method,
         "precision": args.precision,
         "spectral": spectral,
+        "mxu_fraction_bf16": round(roof["mxu_fraction_bf16"], 4),
+        "hbm_fraction": round(roof["hbm_fraction"], 4),
     }
+
+    # --- per-config BASELINE rows (BASELINE.json:6-12; VERDICT r1 item 2) --
+    if not args.skip_configs:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from bench.all_configs import run_all
+
+        stamp("running five BASELINE config rows...")
+        out["configs"] = run_all(
+            iters=max(3, args.iters // 4), channels5=args.channels5
+        )
+        stamp("config rows done")
+
     print(json.dumps(out), flush=True)
 
 

@@ -1,10 +1,12 @@
 #!/usr/bin/env python
 """Bench all five BASELINE workloads (BASELINE.json:6-12) on one chip.
 
-Prints one JSON line per workload (stderr gets human detail).  Each
-measurement loop runs on-device via lax.scan (see bench.py).
+Importable: ``run_all(...)`` returns one dict per workload (bench.py
+embeds them in the driver JSON record).  As a script, prints one JSON
+line per workload (stderr gets human detail).  Each measurement loop
+runs on-device via lax.scan (see bench.py).
 
-    python bench/all_configs.py [--cpu] [--iters 10]
+    python bench/all_configs.py [--cpu] [--iters 10] [--channels5 64]
 """
 
 import sys, os
@@ -17,17 +19,26 @@ import time
 import numpy as np
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--cpu", action="store_true")
-    p.add_argument("--iters", type=int, default=10)
-    p.add_argument("--seconds", type=float, default=2.0)
-    args = p.parse_args()
+def _log(*a):
+    print(*a, file=sys.stderr, flush=True)
 
+
+def _snr(ref, y):
+    ref = np.asarray(ref)
+    y = np.asarray(y)
+    e = np.abs(ref - y)
+    return float(10 * np.log10(np.sum(np.abs(ref) ** 2) / np.sum(e**2)))
+
+
+def run_all(iters: int = 10, seconds: float = 2.0, channels5: int = 64):
+    """Measure the five BASELINE configs on the current backend.
+
+    ``channels5`` bounds the channelizer row: the BASELINE.json:11 spec
+    shape is 1024 channels on a v5p-16 pod; on one chip the row reports
+    the requested channel count explicitly so the record states what was
+    actually run (tunnel H2D makes >256ch impractical on the dev box).
+    """
     import jax
-
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import scipy.signal as ss
     from jax import lax
@@ -36,8 +47,8 @@ def main():
     from llzlab_tpu.ops.fir import fir_state_len
 
     dev = jax.devices()[0]
-    print(f"backend={jax.default_backend()} {dev.device_kind}",
-          file=sys.stderr, flush=True)
+    _log(f"backend={jax.default_backend()} {dev.device_kind}")
+    on_tpu = jax.default_backend() in ("tpu", "axon")
     rng = np.random.default_rng(0)
     results = []
 
@@ -55,22 +66,16 @@ def main():
         _ = np.asarray(go(x, state0))
         return (time.perf_counter() - t0) / n
 
-    def snr(ref, y):
-        ref = np.asarray(ref, np.float64)
-        y = np.asarray(y, np.float64)
-        e = ref - y
-        return float(10 * np.log10(np.sum(ref**2) / np.sum(e**2)))
-
     def report(name, msps, snr_db, **extra):
         rec = {"config": name, "msps_per_chip": round(msps, 1),
                "snr_db": round(snr_db, 1), **extra}
         results.append(rec)
-        print(json.dumps(rec), flush=True)
+        _log(json.dumps(rec))
+        return rec
 
-    T = int(48000 * args.seconds)
+    T = int(48000 * seconds)
 
     # ---- config 1: 1024-tap FIR lowpass, 1 channel ----------------------
-    on_tpu = jax.default_backend() in ("tpu", "axon")
     taps = lz.firwin(1024, 0.25, window="hamming")
     t1 = (T // 3072) * 3072
     x1 = rng.standard_normal((1, t1)).astype(np.float32)
@@ -81,10 +86,10 @@ def main():
         y, zf = lz.fir_filter(v, taps, method=m1, zi=st, return_zf=True)
         return y, zf
 
-    dt = run_scanned(fir_step, jnp.zeros((1, h)), jnp.asarray(x1), args.iters)
+    dt = run_scanned(fir_step, jnp.zeros((1, h)), jnp.asarray(x1), iters)
     y = np.asarray(lz.fir_filter(x1, taps, method=m1))
     ref = ss.lfilter(taps, [1.0], x1.astype(np.float64), axis=-1)
-    report("fir_lowpass_1ch", t1 / dt / 1e6, snr(ref, y), engine=m1)
+    report("fir_lowpass_1ch", t1 / dt / 1e6, _snr(ref, y), engine=m1)
 
     # ---- config 2: 147/160 resample, 8 channels -------------------------
     rtaps = lz.resample_taps(147, 160, 64)
@@ -96,10 +101,10 @@ def main():
                                  return_zf=True)
         return y, zf
 
-    dt = run_scanned(rs_step, jnp.zeros((8, 63)), jnp.asarray(x2), args.iters)
+    dt = run_scanned(rs_step, jnp.zeros((8, 63)), jnp.asarray(x2), iters)
     y = np.asarray(lz.resample_poly(x2[:1], 147, 160, taps=rtaps))
     ref = ss.upfirdn(rtaps, x2[0].astype(np.float64), 147, 160)[: y.shape[-1]]
-    report("resample_8ch", 8 * t2 / dt / 1e6, snr(ref, y[0]))
+    report("resample_8ch", 8 * t2 / dt / 1e6, _snr(ref, y[0]))
 
     # ---- config 3: 8-section EQ, 64 channels ----------------------------
     sos8 = lz.peaking_eq_sos(
@@ -108,25 +113,28 @@ def main():
     )
     t3 = (T // 4096) * 4096
     x3 = rng.standard_normal((64, t3)).astype(np.float32)
+    ref3 = ss.sosfilt(sos8, x3[:4].astype(np.float64), axis=-1)
 
     def sos_step(v, st):
         return lz.sosfilt(sos8, v, zi=st, block_size=4096, return_zf=True)
 
-    dt = run_scanned(sos_step, jnp.zeros((64, 8, 2)), jnp.asarray(x3),
-                     args.iters)
+    dt = run_scanned(sos_step, jnp.zeros((64, 8, 2)), jnp.asarray(x3), iters)
     y = np.asarray(lz.sosfilt(sos8, x3[:4], block_size=4096))
-    ref = ss.sosfilt(sos8, x3[:4].astype(np.float64), axis=-1)
-    report("iir_eq_64ch", 64 * t3 / dt / 1e6, snr(ref, y), engine="scan")
+    report("iir_eq_64ch", 64 * t3 / dt / 1e6, _snr(ref3, y), engine="scan")
 
-    # Same workload on the MXU-matmul engine (ops/iir_matmul.py).
-    def sos_mm_step(v, st):
-        return lz.sosfilt_matmul(sos8, v, zi=st, return_zf=True)
+    # Same workload on the MXU-matmul engine (ops/iir_matmul.py), at both
+    # precision tiers — these rows are the source for the
+    # ops/iir_select.py ENGINE_MATRIX numbers.
+    for prec in ("highest", "high"):
+        def sos_mm_step(v, st, _p=prec):
+            return lz.sosfilt_matmul(sos8, v, zi=st, return_zf=True,
+                                     precision=_p)
 
-    dt = run_scanned(sos_mm_step, jnp.zeros((64, 8, 2)), jnp.asarray(x3),
-                     args.iters)
-    y = np.asarray(lz.sosfilt_matmul(sos8, x3[:4]))
-    report("iir_eq_64ch_matmul", 64 * t3 / dt / 1e6, snr(ref, y),
-           engine="matmul")
+        dt = run_scanned(sos_mm_step, jnp.zeros((64, 8, 2)),
+                         jnp.asarray(x3), iters)
+        y = np.asarray(lz.sosfilt_matmul(sos8, x3[:4], precision=prec))
+        report(f"iir_eq_64ch_matmul_{prec}", 64 * t3 / dt / 1e6,
+               _snr(ref3, y), engine="matmul", precision=prec)
 
     # ---- config 4: STFT→gain→iSTFT, 256 channels ------------------------
     t4 = (T // 2048) * 2048
@@ -138,21 +146,20 @@ def main():
         y = lz.istft(S * gain, n_fft=2048, hop=512, length=v.shape[-1])
         return y, st
 
-    dt = run_scanned(stft_step, jnp.zeros((1,)), jnp.asarray(x4), args.iters)
-    y = np.asarray(lz.istft(lz.stft(x4[:2]) * gain, length=t4))
-    S = lz.stft(x4[:2].astype(np.float64) if False else x4[:2])
+    dt = run_scanned(stft_step, jnp.zeros((1,)), jnp.asarray(x4), iters)
     # golden: unity-path reconstruction quality in the interior
     yu = np.asarray(lz.istft(lz.stft(x4[:2]), length=t4))
     report("stft_gain_256ch", 256 * t4 / dt / 1e6,
-           snr(x4[:2, 2048:-2048], yu[:, 2048:-2048]))
+           _snr(x4[:2, 2048:-2048], yu[:, 2048:-2048]))
 
     # ---- config 5: channelizer chain (single chip; sharded variant is
     # exercised by __graft_entry__.dryrun_multichip / the pod driver) -----
     from llzlab_tpu.chains.channelizer import Channelizer
 
-    chan = Channelizer(fir_method="ols")
+    m5 = "block2" if on_tpu else "ols"
+    chan = Channelizer(fir_method=m5)
     m = chan.block_multiple()
-    c5 = 16
+    c5 = int(channels5)
     x5 = rng.standard_normal((c5, m)).astype(np.float32)
 
     def chan_step(v, st):
@@ -160,12 +167,46 @@ def main():
         return spec, st2
 
     dt = run_scanned(
-        chan_step, chan.init_state(c5), jnp.asarray(x5), args.iters,
+        chan_step, chan.init_state(c5), jnp.asarray(x5), iters,
         fetch=lambda z: jnp.abs(z[0, -1, 0]),
     )
-    report("channelizer_16ch_1chip", c5 * m / dt / 1e6, float("nan"))
+    # SNR vs float64 scipy golden on a 2-channel slice of the same chain
+    # (channels are independent — per-channel math is identical).
+    spec = np.asarray(chan.step(jnp.asarray(x5[:2]), chan.init_state(2))[0])
+    y64 = ss.lfilter(chan.fir_taps, [1.0], x5[:2].astype(np.float64),
+                     axis=-1)
+    z64 = np.stack([
+        ss.upfirdn(chan.resample_taps, y64[c], chan.up, chan.down)
+        for c in range(2)
+    ])
+    n_out = spec.shape[1] * chan.fft_n
+    zf64 = z64[:, :n_out].reshape(2, -1, chan.fft_n)
+    ref5 = np.fft.rfft(zf64, axis=-1)
+    report("channelizer_1chip", c5 * m / dt / 1e6, _snr(ref5, spec),
+           channels=c5, block=m, engine=m5,
+           spec_shape="BASELINE.json:11 is 1024ch on v5p-16; single-chip "
+                      f"row runs {c5}ch (tunnel-H2D-bound dev box)")
+    return results
 
-    print(json.dumps({"all": results}), file=sys.stderr, flush=True)
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--seconds", type=float, default=2.0)
+    p.add_argument("--channels5", type=int, default=64,
+                   help="channelizer channel count (spec shape is 1024; "
+                        "dev-box default 64 keeps H2D under the tunnel cap)")
+    args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    results = run_all(iters=args.iters, seconds=args.seconds,
+                      channels5=args.channels5)
+    for rec in results:
+        print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,198 @@
+#!/usr/bin/env python
+"""Parameterized engine sweep — the one probe script (VERDICT r1 item 8).
+
+Replaces the 14 one-off bench/tpu_* probes from round 1 (git history has
+them).  Measures {Msps, SNR dB} per (op, engine, precision) on the
+current backend, all timing loops on-device via lax.scan.
+
+    python bench/tpu_sweep.py --suite chain          # headline engines
+    python bench/tpu_sweep.py --suite iir            # sosfilt engine matrix
+    python bench/tpu_sweep.py --suite fir            # FIR engines
+    python bench/tpu_sweep.py --suite all [--cpu]
+
+Prints one JSON line per measurement; stderr gets progress.  One process
+only — the chip is exclusive and each process pays the one-time ~400 s
+first-D2H tunnel stall.
+"""
+
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+t0 = time.time()
+
+
+def log(msg):
+    print(f"[{time.time()-t0:6.1f}] {msg}", file=sys.stderr, flush=True)
+
+
+def snr_db(ref, y):
+    ref = np.asarray(ref)
+    y = np.asarray(y)
+    e = np.abs(ref - y)
+    return float(10 * np.log10(np.sum(np.abs(ref) ** 2) / np.sum(e**2)))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--suite", default="all",
+                   choices=["all", "chain", "fir", "iir"])
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--channels", type=int, default=64)
+    p.add_argument("--block", type=int, default=245760)
+    p.add_argument("--iters", type=int, default=10)
+    args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import scipy.signal as ss
+    from jax import lax
+
+    import llzlab_tpu as lz
+    from llzlab_tpu.ops import fir as fir_mod
+
+    log(f"backend={jax.default_backend()} dev={jax.devices()[0].device_kind}")
+
+    C, T, ITERS = args.channels, args.block, args.iters
+    rng = np.random.default_rng(0)
+    x_np = rng.standard_normal((C, T)).astype(np.float32)
+    x = jnp.asarray(x_np)
+
+    def timeit(fn, *fargs):
+        @jax.jit
+        def go(*a):
+            def body(c, _):
+                return c, fn(*a)[0, -1]
+            _, probes = lax.scan(body, 0, None, length=ITERS)
+            return probes
+
+        r = go(*fargs); r.block_until_ready()
+        t1 = time.perf_counter()
+        r = go(*fargs); r.block_until_ready()
+        return C * T * ITERS / (time.perf_counter() - t1) / 1e6
+
+    def report(**rec):
+        print(json.dumps(rec), flush=True)
+        log(json.dumps(rec))
+
+    taps = lz.firwin(1024, 0.25, window="hamming")
+    rtaps = lz.resample_taps(147, 160, 64)
+
+    # ---- chain: 1024-tap FIR + 147/160 resample (the headline) ----------
+    if args.suite in ("all", "chain"):
+        from llzlab_tpu.kernels import fused_fir_resample as ff
+
+        y64 = ss.lfilter(taps, [1.0], x_np[0].astype(np.float64))
+        z64 = ss.upfirdn(rtaps, y64, 147, 160)
+
+        def chain_snr(z):
+            ours = np.asarray(z[0], np.float64)
+            return snr_db(z64[: ours.shape[0]], ours)
+
+        k = len(rtaps) // 147
+        interp = jax.default_backend() not in ("tpu", "axon")
+        for prec in ("high", "highest"):
+            os.environ["LLZ_MATMUL_PRECISION"] = prec
+            jax.clear_caches()  # precision env is captured at trace time
+            hlen = fir_mod.fir_state_len(1024, method="block2")
+            f0 = jnp.zeros((C, hlen), jnp.float32)
+            r0 = jnp.zeros((C, k - 1), jnp.float32)
+
+            @jax.jit
+            def chain_xla(x, f=f0, r=r0):
+                y, _ = lz.fir_filter(x, taps, method="block2", zi=f,
+                                     return_zf=True)
+                z, _ = lz.resample_poly(y, 147, 160, taps=rtaps, zi=r,
+                                        return_zf=True)
+                return z
+
+            z = chain_xla(x)
+            report(op="chain", engine="block2+resample", precision=prec,
+                   msps=round(timeit(chain_xla, x), 1),
+                   snr=round(chain_snr(z), 1))
+
+            if ff.fused_supports(C, 1024, 147, 160, k, T):
+                st0 = jnp.zeros((C, ff.fused_state_len(1024)), jnp.float32)
+
+                @jax.jit
+                def chain_fused(x, st=st0, _p=prec):
+                    z, _ = ff.fused_fir_resample_pallas(
+                        x, taps, 147, 160, rtaps, zi=st, return_zf=True,
+                        mode=_p, interpret=interp, rs_batch=4)
+                    return z
+
+                z = chain_fused(x)
+                report(op="chain", engine="fused_pallas", precision=prec,
+                       msps=round(timeit(chain_fused, x), 1),
+                       snr=round(chain_snr(z), 1))
+        os.environ["LLZ_MATMUL_PRECISION"] = "highest"
+
+    # ---- fir: engines at 1024 taps ---------------------------------------
+    if args.suite in ("all", "fir"):
+        ref = ss.lfilter(taps, [1.0], x_np[:2].astype(np.float64), axis=-1)
+        for method in ("ols", "block2", "im2col"):
+            for prec in ("high", "highest"):
+                os.environ["LLZ_MATMUL_PRECISION"] = prec
+                jax.clear_caches()  # precision env captured at trace time
+                hlen = fir_mod.fir_state_len(1024, method=method)
+                st0 = jnp.zeros((C, hlen), jnp.float32)
+
+                @jax.jit
+                def f(x, st=st0, _m=method):
+                    y, _ = lz.fir_filter(x, taps, method=_m, zi=st,
+                                         return_zf=True)
+                    return y
+
+                y = np.asarray(f(x)[:2])
+                report(op="fir", engine=method, precision=prec,
+                       msps=round(timeit(f, x), 1),
+                       snr=round(snr_db(ref, y), 1))
+        os.environ["LLZ_MATMUL_PRECISION"] = "highest"
+
+    # ---- iir: the sosfilt engine matrix (ops/iir_select.py source) ------
+    if args.suite in ("all", "iir"):
+        sos8 = lz.peaking_eq_sos(
+            [100, 300, 700, 1500, 3000, 6000, 10000, 15000],
+            [3, -4, 2, 5, -3, 4, -2, 3], 48000, q=1.0)
+        t3 = (T // 4096) * 4096
+        x3 = x[:, :t3]
+        ref = ss.sosfilt(np.asarray(sos8, np.float64),
+                         x_np[:2, :t3].astype(np.float64), axis=-1)
+        st0 = jnp.zeros((C, 8, 2), jnp.float32)
+
+        @jax.jit
+        def scan_f(x, st=st0):
+            y, _ = lz.sosfilt(sos8, x, zi=st, block_size=4096,
+                              return_zf=True)
+            return y
+
+        y = np.asarray(scan_f(x3)[:2])
+        report(op="iir", engine="scan", precision="f32",
+               msps=round(timeit(scan_f, x3), 1),
+               snr=round(snr_db(ref, y), 1))
+
+        for prec in ("highest", "high"):
+            @jax.jit
+            def mm_f(x, st=st0, _p=prec):
+                y, _ = lz.sosfilt_matmul(sos8, x, zi=st, return_zf=True,
+                                         precision=_p)
+                return y
+
+            y = np.asarray(mm_f(x3)[:2])
+            report(op="iir", engine="matmul", precision=prec,
+                   msps=round(timeit(mm_f, x3), 1),
+                   snr=round(snr_db(ref, y), 1))
+
+    log("done")
+
+
+if __name__ == "__main__":
+    main()

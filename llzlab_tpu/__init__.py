@@ -38,6 +38,7 @@ from llzlab_tpu.ops import (  # noqa: F401
     rbj_biquad,
     sosfilt,
     sosfilt_matmul,
+    sosfilt_auto,
     resample_poly,
     resample_taps,
     fir_resample,

@@ -290,6 +290,8 @@ def fused_fir_resample_pallas(
     return_zf: bool = False,
     mode: str = "high",
     interpret: bool = False,
+    gb: int = 0,
+    rs_batch: int = 1,
 ):
     """Fused FIR→resample on ``(..., T)`` → ``(..., T·up/down)``.
 
@@ -322,7 +324,7 @@ def fused_fir_resample_pallas(
     xh = jnp.concatenate([hist, xb], axis=-1)
     z = _fused_pallas_jit(
         xh, tables, ntaps=ntaps, up=up, down=down, k=k, mode=mode,
-        interpret=interpret,
+        interpret=interpret, gb=gb, rs_batch=rs_batch,
     )
     n_out = resample_output_len(t, up, down)
     z = z[:, :n_out].reshape(shape[:-1] + (n_out,)).astype(x.dtype)

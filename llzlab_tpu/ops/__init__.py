@@ -58,6 +58,7 @@ from llzlab_tpu.ops.fused_chain import (  # noqa: F401
     fir_resample_state_len,
 )
 from llzlab_tpu.ops.iir_matmul import sosfilt_matmul  # noqa: F401
+from llzlab_tpu.ops.iir_select import sosfilt_auto  # noqa: F401
 from llzlab_tpu.ops.remez import remez  # noqa: F401
 from llzlab_tpu.ops.resample import (  # noqa: F401
     resample_poly,

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional, Sequence, Union
 
 import jax
@@ -482,26 +483,33 @@ def _fir_filter_im2col_impl(x, tap_mat, zi, *, hlen: int, block: int,
     return y, zf
 
 
-@functools.partial(jax.jit, static_argnames=("hlen", "return_zf"))
-def _fir_filter_pallas_impl(x, tables, zi, *, hlen: int, return_zf: bool):
-    """Overlap-save via the fully-fused Pallas kernel (kernels/ols_fused)."""
-    from llzlab_tpu.kernels import ols_fused as _of
+def _fir_filter_block2_pallas(x, taps_host, zi, *, block: int, mode: str,
+                              return_zf: bool):
+    """Direct FIR via the fused Pallas block2 kernel (kernels/block2_fir).
+
+    Same streaming contract as `_fir_filter_block2_impl`; the kernel keeps
+    the banded Toeplitz tiles VMEM-resident and does the bf16x3 split
+    explicitly, so HBM traffic is one signal read + one output write
+    (measured 6256 vs 6323 Msps chain / 3259 FIR-alone XLA on v5e).
+    """
+    from llzlab_tpu.kernels import block2_fir as _bf
 
     shape = x.shape
     t = shape[-1]
     xb = x.reshape(-1, t)
     b = xb.shape[0]
     if zi is None:
-        hist = jnp.zeros((b, hlen), dtype=jnp.float32)
+        hist = jnp.zeros((b, block), jnp.float32)
     else:
-        hist = zi.reshape(b, hlen).astype(jnp.float32)
+        hist = zi.reshape(b, block).astype(jnp.float32)
     xpad = jnp.concatenate([hist, xb.astype(jnp.float32)], axis=-1)
-    interpret = jax.default_backend() not in ("tpu", "axon")
-    y = _of._ols_pallas_jit(xpad, tables, hlen, interpret).astype(x.dtype)
+    y = _bf.block2_fir_pallas(xpad, taps_host, block, mode=mode).astype(
+        x.dtype
+    )
     y = y.reshape(shape)
     if not return_zf:
         return y
-    zf = xpad[:, -hlen:].astype(x.dtype).reshape(shape[:-1] + (hlen,))
+    zf = xpad[:, -block:].astype(x.dtype).reshape(shape[:-1] + (block,))
     return y, zf
 
 
@@ -570,6 +578,23 @@ def fir_filter(
         if taps_host is None:
             raise ValueError("method='block2' needs host-concrete taps")
         block = block2_block(ntaps)
+        # Prefer the fused Pallas kernel on TPU when the shape envelope
+        # allows (channels %8, block %128 ≤ 2048): it keeps the banded
+        # weight tiles VMEM-resident and does bf16x3 explicitly.  Fall
+        # back to the XLA two-einsum engine otherwise (bit-compatible
+        # streaming contract — same `block` history length).
+        from llzlab_tpu.kernels import block2_fir as _bf
+
+        batch = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        prec = {"highest": "highest", "high": "high", "default": "high"}[
+            os.environ.get("LLZ_MATMUL_PRECISION", "highest").lower()
+        ]
+        if on_tpu and _bf.supports(batch, ntaps, block):
+            return _fir_filter_block2_pallas(
+                x, taps_host, zi, block=block, mode=prec,
+                return_zf=return_zf,
+            )
         A, Bm = _block2_cached(taps_host.tobytes(), block)
         return _fir_filter_block2_impl(
             x, A, Bm, zi, block=block, return_zf=return_zf
@@ -587,26 +612,8 @@ def fir_filter(
             return_zf=return_zf,
         )
 
-    if spectral not in ("auto", "fused", "fft", "pallas"):
+    if spectral not in ("auto", "fused", "fft"):
         raise ValueError(f"unknown spectral engine {spectral!r}")
-    if spectral == "pallas":
-        from llzlab_tpu.kernels import ols_fused as _of
-
-        if nfft != _of.NFFT and nfft != default_nfft(ntaps):
-            raise ValueError(
-                f"spectral='pallas' is fixed at nfft={_of.NFFT}"
-            )
-        nfft = _of.NFFT
-        hlen = nfft - ols_hop(ntaps, nfft)
-        if taps_host is None or hlen % 256 or (hlen // 2) % 128:
-            raise ValueError(
-                "spectral='pallas' needs host-concrete taps and "
-                "hist/2 a multiple of 128"
-            )
-        return _fir_filter_pallas_impl(
-            x, tuple(_of.ols_pallas_tables(taps_host)), zi,
-            hlen=hlen, return_zf=return_zf,
-        )
     hlen = nfft - ols_hop(ntaps, nfft)
     if spectral == "auto":
         # Measured on v5e (bench/tpu_fused_probe.py): the fft engine wins

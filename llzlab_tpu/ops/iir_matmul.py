@@ -160,16 +160,21 @@ def _carry_scan_mat(e, s0, AL):
     return s_in, s_end
 
 
-def _coupled_section(x, s0, tables, L, t):
+def _coupled_section(x, s0, tables, L, t, prec):
     """x (B, Tp) padded to a multiple of L; returns (y (B, Tp), zf (B, 2))."""
     Yaug, er_row, ei_row, pL, qpow = tables
     b, tp = x.shape
     nblk = tp // L
     xb = x.reshape(b, nblk, L)
-    kw = dict(preferred_element_type=jnp.float32,
-              precision=_matmul_precision())
-    er = jnp.einsum("bjm,m->bj", xb, er_row, **kw)
-    ei = jnp.einsum("bjm,m->bj", xb, ei_row, **kw)
+    kw = dict(preferred_element_type=jnp.float32, precision=prec)
+    # Carry path stays HIGHEST regardless of `prec`: the end-state dots
+    # feed every later block through the scan, so bf16x3 error here
+    # compounds across the whole stream (the r1 84.7 dB cliff at [high]),
+    # while they cost only 1/L of the output matmul's FLOPs.
+    kw_c = dict(preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+    er = jnp.einsum("bjm,m->bj", xb, er_row, **kw_c)
+    ei = jnp.einsum("bjm,m->bj", xb, ei_row, **kw_c)
     win_r, win_i, we_r, we_i = _carry_scan_complex(er, ei, s0, pL)
     xaug = jnp.concatenate(
         [xb, win_r[..., None], win_i[..., None]], axis=-1
@@ -185,23 +190,24 @@ def _coupled_section(x, s0, tables, L, t):
         coef_r = er_row[L - 1 - nstar:]  # p^(n*−m), m = 0..n*  (reversed tail)
         coef_i = ei_row[L - 1 - nstar:]
         xs = xb[:, jstar, : nstar + 1]
-        wr = jnp.einsum("bm,m->b", xs, coef_r, **kw) \
+        wr = jnp.einsum("bm,m->b", xs, coef_r, **kw_c) \
             + qpow[0, nstar] * win_r[:, jstar] - qpow[1, nstar] * win_i[:, jstar]
-        wi = jnp.einsum("bm,m->b", xs, coef_i, **kw) \
+        wi = jnp.einsum("bm,m->b", xs, coef_i, **kw_c) \
             + qpow[0, nstar] * win_i[:, jstar] + qpow[1, nstar] * win_r[:, jstar]
         zf = jnp.stack([wr, wi], -1)
     return y, zf
 
 
-def _companion_section(x, s0, tables, L, t):
+def _companion_section(x, s0, tables, L, t, prec):
     Yaug, e1_row, e2_row, AL, qpow = tables
     b, tp = x.shape
     nblk = tp // L
     xb = x.reshape(b, nblk, L)
-    kw = dict(preferred_element_type=jnp.float32,
-              precision=_matmul_precision())
-    e1 = jnp.einsum("bjm,m->bj", xb, e1_row, **kw)
-    e2 = jnp.einsum("bjm,m->bj", xb, e2_row, **kw)
+    kw = dict(preferred_element_type=jnp.float32, precision=prec)
+    kw_c = dict(preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)  # carry path: see above
+    e1 = jnp.einsum("bjm,m->bj", xb, e1_row, **kw_c)
+    e2 = jnp.einsum("bjm,m->bj", xb, e2_row, **kw_c)
     s_in, s_end = _carry_scan_mat(jnp.stack([e1, e2], -1), s0, AL)
     xaug = jnp.concatenate([xb, s_in], axis=-1)  # (B, nblk, L+2)
     y = jnp.einsum("bjm,mn->bjn", xaug, Yaug, **kw).reshape(b, tp)
@@ -210,8 +216,8 @@ def _companion_section(x, s0, tables, L, t):
         zf = s_end[:, jstar, :]
     else:
         xs = xb[:, jstar, : nstar + 1]
-        s1 = jnp.einsum("bm,m->b", xs, e1_row[L - 1 - nstar:], **kw)
-        s2 = jnp.einsum("bm,m->b", xs, e2_row[L - 1 - nstar:], **kw)
+        s1 = jnp.einsum("bm,m->b", xs, e1_row[L - 1 - nstar:], **kw_c)
+        s2 = jnp.einsum("bm,m->b", xs, e2_row[L - 1 - nstar:], **kw_c)
         loc = jnp.stack([s1, s2], -1)
         zf = loc + jnp.einsum("id,bd->bi", qpow[..., nstar],
                               s_in[:, jstar, :],
@@ -219,7 +225,7 @@ def _companion_section(x, s0, tables, L, t):
     return y, zf
 
 
-def _factory(kinds, L: int, return_zf: bool, t: int):
+def _factory(kinds, L: int, return_zf: bool, t: int, prec):
     @jax.jit
     def run(x, tables, zi_b):
         shape = x.shape
@@ -229,7 +235,7 @@ def _factory(kinds, L: int, return_zf: bool, t: int):
         zf = []
         for s, kind in enumerate(kinds):
             fn = _coupled_section if kind == "coupled" else _companion_section
-            cur, z = fn(cur, zi_b[:, s, :], tables[s], L, t)
+            cur, z = fn(cur, zi_b[:, s, :], tables[s], L, t, prec)
             if return_zf:
                 zf.append(z)
         y = cur[:, :t].reshape(shape).astype(x.dtype)
@@ -241,8 +247,8 @@ def _factory(kinds, L: int, return_zf: bool, t: int):
 
 
 @functools.lru_cache(maxsize=256)
-def _run_cached(kinds, L, return_zf, t):
-    return _factory(kinds, L, return_zf, t)
+def _run_cached(kinds, L, return_zf, t, prec):
+    return _factory(kinds, L, return_zf, t, prec)
 
 
 def sosfilt_matmul(
@@ -252,6 +258,7 @@ def sosfilt_matmul(
     zi: Optional[jnp.ndarray] = None,
     block_size: int = 128,
     return_zf: bool = False,
+    precision: Optional[str] = None,
 ):
     """MXU-matmul biquad cascade (drop-in for :func:`llzlab_tpu.sosfilt`).
 
@@ -259,6 +266,12 @@ def sosfilt_matmul(
     scan realization), so states interchange between engines.  Prefer this
     on TPU for throughput; prefer the scan engine for bit-matched
     streaming splits (BASELINE.json:9).
+
+    ``precision`` ("highest" | "high" | "default") overrides the global
+    LLZ_MATMUL_PRECISION for THIS call's output matmuls; the cross-block
+    carry path is always HIGHEST (cheap, and bf16x3 error there compounds
+    across the stream).  Use :func:`llzlab_tpu.ops.iir_select.sosfilt_auto`
+    to pick engine+precision from a required SNR.
     """
     sos_np = np.asarray(sos, dtype=np.float64)
     if sos_np.ndim != 2 or sos_np.shape[1] != 6:
@@ -276,7 +289,15 @@ def sosfilt_matmul(
             b0, b1, b2, _, a1, a2 = (float(v) for v in row)
             tables.append(_companion_tables(a1, a2, b0, b1, b2, L))
     t = int(x.shape[-1])
-    run = _run_cached(tuple(kinds), L, bool(return_zf), t)
+    if precision is None:
+        prec = _matmul_precision()
+    else:
+        prec = {
+            "highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT,
+        }[precision]
+    run = _run_cached(tuple(kinds), L, bool(return_zf), t, prec)
     nb = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
     ns = sos_np.shape[0]
     if zi is None:

@@ -1,0 +1,71 @@
+"""SNR-guardrail IIR engine front door (ops/iir_select.py)."""
+
+import numpy as np
+import pytest
+import scipy.signal as ss
+
+import llzlab_tpu as lz
+from llzlab_tpu.ops.iir_select import ENGINE_MATRIX, sosfilt_auto
+
+
+def _snr(ref, y):
+    ref = np.asarray(ref, np.float64)
+    y = np.asarray(y, np.float64)
+    return 10 * np.log10(np.sum(ref**2) / np.sum((ref - y) ** 2))
+
+
+@pytest.fixture(scope="module")
+def x():
+    return np.random.default_rng(5).standard_normal((2, 48000)).astype(
+        np.float32
+    )
+
+
+@pytest.fixture(scope="module")
+def sos_eq():
+    return lz.peaking_eq_sos(
+        [100, 300, 700, 1500, 3000, 6000, 10000, 15000],
+        [3, -4, 2, 5, -3, 4, -2, 3], 48000, q=1.0)
+
+
+class TestSosfiltAuto:
+    def test_meets_requested_snr(self, x, sos_eq):
+        ref = ss.sosfilt(np.asarray(sos_eq, np.float64),
+                         x[0].astype(np.float64))
+        for req in (80.0, 120.0):
+            y = sosfilt_auto(sos_eq, x, min_snr_db=req)
+            assert y.shape == x.shape
+            assert _snr(ref, y[0]) > req
+
+    def test_bit_exact_carry_split_invariance(self, x, sos_eq):
+        cut = 5 * 4096  # bit-exactness holds at block_size multiples
+        full, _ = sosfilt_auto(sos_eq, x, bit_exact_carry=True,
+                               return_zf=True, block_size=4096)
+        a, zf = sosfilt_auto(sos_eq, x[:, :cut], bit_exact_carry=True,
+                             return_zf=True, block_size=4096)
+        b = sosfilt_auto(sos_eq, x[:, cut:], bit_exact_carry=True,
+                         zi=zf, block_size=4096)
+        np.testing.assert_array_equal(
+            np.concatenate([np.asarray(a), np.asarray(b)], axis=-1),
+            np.asarray(full),
+        )
+
+    def test_unreachable_snr_raises(self, x, sos_eq):
+        with pytest.raises(ValueError, match="exceeds every engine"):
+            sosfilt_auto(sos_eq, x, min_snr_db=200.0, bit_exact_carry=False)
+
+    def test_state_interchange_with_engines(self, x, sos_eq):
+        # zf from auto (scan on CPU) must be a valid zi for both engines.
+        t = x.shape[-1]
+        _, zf = sosfilt_auto(sos_eq, x[:, : t // 2], return_zf=True)
+        y1 = lz.sosfilt(sos_eq, x[:, t // 2:], zi=zf)
+        y2 = lz.sosfilt_matmul(sos_eq, x[:, t // 2:], zi=zf)
+        ref = ss.sosfilt(np.asarray(sos_eq, np.float64),
+                         x[0].astype(np.float64))[t // 2:]
+        assert _snr(ref, np.asarray(y1)[0]) > 110.0
+        assert _snr(ref, np.asarray(y2)[0]) > 110.0
+
+    def test_matrix_sane(self):
+        # Guardrail floors must stay under the engines' measured SNRs.
+        for (_eng, _prec), (msps, floor) in ENGINE_MATRIX.items():
+            assert msps > 0 and 0 < floor < 140
