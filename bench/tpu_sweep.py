@@ -130,9 +130,10 @@ def main():
                     return z
 
                 z = chain_fused(x)
-                report(op="chain", engine="fused_pallas", precision=prec,
-                       msps=round(timeit(chain_fused, x), 1),
-                       snr=round(chain_snr(z), 1))
+                for rep in range(2):  # run-to-run variance check (tunnel)
+                    report(op="chain", engine="fused_pallas", precision=prec,
+                           rep=rep, msps=round(timeit(chain_fused, x), 1),
+                           snr=round(chain_snr(z), 1))
         os.environ["LLZ_MATMUL_PRECISION"] = "highest"
 
     # ---- fir: engines at 1024 taps ---------------------------------------

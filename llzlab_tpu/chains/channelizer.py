@@ -131,23 +131,50 @@ class Channelizer:
 
     # ---------------- sharded step ----------------
 
-    def sharded_step(self, mesh):
+    def sharded_step(self, mesh, *, halo: str = "ppermute"):
         """Build the jitted mesh-sharded step: ``(x, state) → (spec, state)``.
 
         ``x (C, T)`` sharded P(channel, time); state replicated over time.
         Requires ``C % n_channel == 0`` and ``T/n_time`` a multiple of
         :meth:`block_multiple`.
+
+        ``halo``: "ppermute" (XLA collective, any mesh) or "rdma" (Pallas
+        ``make_async_remote_copy``, kernels/halo_ring.py) — the RDMA form
+        needs a 1-D time-only mesh (jax 0.9 ``dma_start`` limitation, see
+        that module's docstring) and falls back to interpret mode off-TPU.
         """
-        nt = mesh.shape[TIME_AXIS]
+        axes = tuple(mesh.axis_names)
+        c_ax = CHANNEL_AXIS if CHANNEL_AXIS in axes else None
+        if halo == "rdma":
+            if axes != (TIME_AXIS,):
+                raise ValueError(
+                    "halo='rdma' needs a 1-D (time,) mesh — jax dma_start "
+                    "cannot address peers on multi-axis meshes (see "
+                    "kernels/halo_ring.py)"
+                )
+            from llzlab_tpu.kernels.halo_ring import left_halo_ring
+
+            interp = jax.default_backend() not in ("tpu", "axon")
+
+            def halo_fn(v, h, first, cid):
+                return left_halo_ring(
+                    v, h, axis_names=axes, first_shard_value=first,
+                    interpret=interp, collective_id=cid,
+                )
+        elif halo == "ppermute":
+            def halo_fn(v, h, first, cid):
+                return left_halo(v, h, first_shard_value=first)
+        else:
+            raise ValueError(f"unknown halo mode {halo!r}")
 
         def local(x_l, fir_st, rs_st):
-            halo_f = left_halo(x_l, self.h_fir, first_shard_value=fir_st)
+            halo_f = halo_fn(x_l, self.h_fir, fir_st, 13)
             y, _ = _fir.fir_filter(
                 x_l, self.fir_taps, method=self.fir_method, nfft=self.nfft,
                 zi=halo_f, return_zf=True,
             )
             fir_tail = broadcast_from_last(x_l[..., -self.h_fir:])
-            halo_r = left_halo(y, self.h_rs, first_shard_value=rs_st)
+            halo_r = halo_fn(y, self.h_rs, rs_st, 14)
             z, _ = _rs.resample_poly(
                 y, self.up, self.down, taps=self.resample_taps, zi=halo_r,
                 return_zf=True,
@@ -159,14 +186,14 @@ class Channelizer:
             local,
             mesh=mesh,
             in_specs=(
-                P(CHANNEL_AXIS, TIME_AXIS),
-                P(CHANNEL_AXIS, None),
-                P(CHANNEL_AXIS, None),
+                P(c_ax, TIME_AXIS),
+                P(c_ax, None),
+                P(c_ax, None),
             ),
             out_specs=(
-                P(CHANNEL_AXIS, TIME_AXIS, None),
-                P(CHANNEL_AXIS, None),
-                P(CHANNEL_AXIS, None),
+                P(c_ax, TIME_AXIS, None),
+                P(c_ax, None),
+                P(c_ax, None),
             ),
             check_vma=False,
         )
@@ -179,7 +206,7 @@ class Channelizer:
         return step
 
     def validate_sharded_shapes(self, mesh, c: int, t: int):
-        nc = mesh.shape[CHANNEL_AXIS]
+        nc = dict(mesh.shape).get(CHANNEL_AXIS, 1)
         nt = mesh.shape[TIME_AXIS]
         if c % nc:
             raise ValueError(f"C={c} not divisible by n_channel={nc}")

@@ -12,9 +12,13 @@ replaced by the stream-carry (or zeros) by the caller-side mask.
 A ``ppermute`` fallback stays available permanently (SURVEY.md §7 hard
 part 4) — `left_halo_ring(..., use_rdma=False)` or parallel/halo.py.
 
-Limitation: jax's ``dma_start`` only addresses peers on meshes with ONE
-named axis (both LOGICAL-scalar and MESH-tuple forms reject 2-D meshes in
-this version), so the RDMA form applies to time-only meshes; the 2-D
+Limitation: jax 0.9.0's ``dma_start`` only addresses peers on meshes
+with ONE named axis — re-verified this round on the 8-device CPU mesh:
+LOGICAL-scalar ids fail with "Sharding with more than one named axis not
+implemented in dma_start_p for LOGICAL device_id_type" and MESH-tuple ids
+with "Meshes with more than 1 named dimension not implemented in
+dma_start_p".  The RDMA form therefore applies to time-only 1-D meshes
+(``Channelizer.sharded_step(mesh, halo="rdma")`` exercises it); the 2-D
 (channel, time) production mesh uses the ppermute path.
 """
 
@@ -67,6 +71,7 @@ def left_halo_ring(
     first_shard_value: Optional[jnp.ndarray] = None,
     use_rdma: bool = True,
     interpret: bool = False,
+    collective_id: int = 13,
 ) -> jnp.ndarray:
     """Inside shard_map: fetch the left neighbour's last ``h`` samples.
 
@@ -84,15 +89,17 @@ def left_halo_ring(
     recv = pl.pallas_call(
         functools.partial(_ring_send_kernel, tuple(axis_names)),
         out_shape=jax.ShapeDtypeStruct(tail.shape, tail.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            collective_id=13,
+            # Distinct concurrent RDMA kernels need distinct ids (they
+            # key the barrier); parametrized so chains can coordinate.
+            collective_id=collective_id,
         ),
         interpret=interpret,
     )(tail)

@@ -160,6 +160,19 @@ def _carry_scan_mat(e, s0, AL):
     return s_in, s_end
 
 
+def _out_matmul(xaug, Yaug, prec):
+    """The per-section (B, nblk, L+2) @ (L+2, L) output matmul.
+
+    An explicit 2-way-bf16-split compensated product ("bf16x4") was
+    tried here in r2 and retired: a two-bf16 split carries only 16
+    mantissa bits, and the TPU-measured result was 46.5 dB at 3719 Msps
+    — dominated by both HIGH (84.7 dB @ 5250) and HIGHEST (137.2 dB @
+    4770) on every axis (bench/tpu_sweep.py --suite iir).
+    """
+    return jnp.einsum("bjm,mn->bjn", xaug, Yaug, precision=prec,
+                      preferred_element_type=jnp.float32)
+
+
 def _coupled_section(x, s0, tables, L, t, prec):
     """x (B, Tp) padded to a multiple of L; returns (y (B, Tp), zf (B, 2))."""
     Yaug, er_row, ei_row, pL, qpow = tables
@@ -168,9 +181,11 @@ def _coupled_section(x, s0, tables, L, t, prec):
     xb = x.reshape(b, nblk, L)
     kw = dict(preferred_element_type=jnp.float32, precision=prec)
     # Carry path stays HIGHEST regardless of `prec`: the end-state dots
-    # feed every later block through the scan, so bf16x3 error here
-    # compounds across the whole stream (the r1 84.7 dB cliff at [high]),
-    # while they cost only 1/L of the output matmul's FLOPs.
+    # feed every later block through the scan, so precision error here
+    # would compound across the whole stream, while they cost only 1/L of
+    # the output matmul's FLOPs.  (Measured: the [high] 84.7 dB ceiling is
+    # set by the OUTPUT matmul's bf16x3 rounding, not the carries — the
+    # pin protects long streams, it does not lift that ceiling.)
     kw_c = dict(preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
     er = jnp.einsum("bjm,m->bj", xb, er_row, **kw_c)
@@ -179,7 +194,7 @@ def _coupled_section(x, s0, tables, L, t, prec):
     xaug = jnp.concatenate(
         [xb, win_r[..., None], win_i[..., None]], axis=-1
     )  # (B, nblk, L+2)
-    y = jnp.einsum("bjm,mn->bjn", xaug, Yaug, **kw).reshape(b, tp)
+    y = _out_matmul(xaug, Yaug, prec).reshape(b, tp)
     # zf = w[t−1]: end-state of the block containing t−1 when t is at a
     # block edge, else one small matvec on that block.
     jstar, nstar = (t - 1) // L, (t - 1) % L
@@ -210,7 +225,7 @@ def _companion_section(x, s0, tables, L, t, prec):
     e2 = jnp.einsum("bjm,m->bj", xb, e2_row, **kw_c)
     s_in, s_end = _carry_scan_mat(jnp.stack([e1, e2], -1), s0, AL)
     xaug = jnp.concatenate([xb, s_in], axis=-1)  # (B, nblk, L+2)
-    y = jnp.einsum("bjm,mn->bjn", xaug, Yaug, **kw).reshape(b, tp)
+    y = _out_matmul(xaug, Yaug, prec).reshape(b, tp)
     jstar, nstar = (t - 1) // L, (t - 1) % L
     if nstar == L - 1:
         zf = s_end[:, jstar, :]

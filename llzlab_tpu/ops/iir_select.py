@@ -10,21 +10,22 @@ This module is the one front door: callers state the SNR they need and
 whether streaming splits must be bit-exact; the engine matrix below does
 the rest.
 
-Engine matrix (measured on v5e, 8-section elliptic-family EQ cascade,
-64ch × 245760; bench/tpu_sweep.py reproduces the numbers):
+Engine matrix (measured on v5e 2026-08-19, 8-section peaking-EQ cascade,
+64ch × 245760; reproduce with ``python bench/tpu_sweep.py --suite iir``):
 
 | engine           | Msps  | SNR vs f64 serial | streaming splits |
 |------------------|-------|-------------------|------------------|
-| scan   (f32)     |  281  | 135.9 dB          | bit-exact        |
-| matmul @highest  | 2945  | 137.2 dB          | ulp-level        |
-| matmul @high     | 3682  | see sweep (84.7   | ulp-level        |
-|                  |       | in r1; carry path |                  |
-|                  |       | pinned HIGHEST in |                  |
-|                  |       | r2)               |                  |
+| scan   (f32)     |  289  | 136.0 dB          | bit-exact        |
+| matmul @highest  | 4770  | 137.2 dB          | ulp-level        |
+| matmul @high     | 5250  | 84.7 dB           | ulp-level        |
 
-The floors used for selection are set ~10 dB under the measured values:
-SNR depends on the cascade's pole radii and the signal spectrum, so the
-margin absorbs nastier filters than the benchmark EQ.
+The matmul@high ceiling is set by the output matmul's bf16x3 rounding
+compounding through the cascade (pinning the carry path at HIGHEST did
+not move it; an explicit bf16x4 compensated product measured WORSE —
+46.5 dB @ 3719 — and was retired).  The floors used for selection sit
+~10 dB under the measured values: SNR depends on the cascade's pole
+radii and the signal spectrum, so the margin absorbs nastier filters
+than the benchmark EQ.
 """
 
 from __future__ import annotations
@@ -43,9 +44,9 @@ __all__ = ["sosfilt_auto", "ENGINE_MATRIX"]
 # Floors are measured-minus-margin; re-measure with bench/tpu_sweep.py
 # when an engine changes.
 ENGINE_MATRIX = {
-    ("matmul", "high"): (3682.0, 95.0),
-    ("matmul", "highest"): (2945.0, 127.0),
-    ("scan", "f32"): (281.0, 125.0),
+    ("matmul", "high"): (5250.0, 75.0),
+    ("matmul", "highest"): (4770.0, 127.0),
+    ("scan", "f32"): (289.0, 125.0),
 }
 
 
