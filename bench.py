@@ -150,17 +150,24 @@ def main():
     rs_st = jnp.zeros((C, k - 1), jnp.float32)
 
     # --- correctness: SNR vs float64 scipy golden -------------------------
-    y64 = ss.lfilter(taps, [1.0], x_np[0].astype(np.float64))
-    z64 = ss.upfirdn(rtaps, y64, 147, 160)
+    # Measured on a spread of channels (first/last/interior), not just
+    # channel 0, so a channel-dependent bug cannot pass (VERDICT r1).
+    snr_ch = sorted({0, 1, C // 2, C - 1})
     stamp("compiling SNR step...")
     z, _, _ = step(x, fir_st, rs_st)
     z.block_until_ready()
     stamp("SNR step done")
-    ours = np.asarray(z[0], np.float64)
-    ref = z64[: ours.shape[0]]
-    err = ref - ours
-    snr = 10 * np.log10(np.sum(ref**2) / np.sum(err**2))
-    log(f"SNR vs scipy f64 golden: {snr:.1f} dB")
+    snrs = []
+    for c in snr_ch:
+        y64 = ss.lfilter(taps, [1.0], x_np[c].astype(np.float64))
+        z64 = ss.upfirdn(rtaps, y64, 147, 160)
+        ours = np.asarray(z[c], np.float64)
+        ref = z64[: ours.shape[0]]
+        err = ref - ours
+        snrs.append(10 * np.log10(np.sum(ref**2) / np.sum(err**2)))
+    snr = min(snrs)
+    log(f"SNR vs scipy f64 golden (min over ch {snr_ch}): {snr:.1f} dB "
+        f"(per-ch: {[round(s, 1) for s in snrs]})")
 
     # --- throughput -------------------------------------------------------
     # The whole measurement loop runs ON DEVICE inside one jit (lax.scan
@@ -247,8 +254,16 @@ def main():
 
     # --- per-config BASELINE rows (BASELINE.json:6-12; VERDICT r1 item 2) --
     if not args.skip_configs:
-        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-        from bench.all_configs import run_all
+        # this file ("bench") shadows the bench/ directory in sys.modules,
+        # so load bench/all_configs.py by explicit path
+        import importlib.util
+
+        _p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "bench", "all_configs.py")
+        _spec = importlib.util.spec_from_file_location("all_configs", _p)
+        _mod = importlib.util.module_from_spec(_spec)
+        _spec.loader.exec_module(_mod)
+        run_all = _mod.run_all
 
         stamp("running five BASELINE config rows...")
         out["configs"] = run_all(

@@ -172,7 +172,11 @@ def run_all(iters: int = 10, seconds: float = 2.0, channels5: int = 64):
     )
     # SNR vs float64 scipy golden on a 2-channel slice of the same chain
     # (channels are independent — per-channel math is identical).
-    spec = np.asarray(chan.step(jnp.asarray(x5[:2]), chan.init_state(2))[0])
+    # Fetch real/imag separately: complex64 D2H is unimplemented on the
+    # axon tunnel backend.
+    spec_dev = chan.step(jnp.asarray(x5[:2]), chan.init_state(2))[0]
+    spec = (np.asarray(jnp.real(spec_dev))
+            + 1j * np.asarray(jnp.imag(spec_dev)))
     y64 = ss.lfilter(chan.fir_taps, [1.0], x5[:2].astype(np.float64),
                      axis=-1)
     z64 = np.stack([

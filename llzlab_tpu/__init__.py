@@ -43,5 +43,16 @@ from llzlab_tpu.ops import (  # noqa: F401
     resample_taps,
     fir_resample,
     get_window,
+    firls,
+    minimum_phase,
+    filtfilt,
+    sosfiltfilt,
+    lfilter,
+    lfilter_zi,
+    sosfilt_zi,
+    sosfilt_zi_scan,
 )
+# imported from the submodule, not llzlab_tpu.ops, so the scipy-named
+# function never shadows the ops.resample module
+from llzlab_tpu.ops.resample import resample  # noqa: F401
 from llzlab_tpu.pipeline import Chain  # noqa: F401

@@ -20,7 +20,22 @@ from llzlab_tpu.io.wav import read_wav, write_wav
 from llzlab_tpu.utils.checkpoint import load_state, save_state
 from llzlab_tpu.utils.metrics import MetricsLogger, config_hash
 
-__all__ = ["add_io_args", "run_chain_tool"]
+__all__ = ["add_io_args", "pin_backend", "run_chain_tool"]
+
+
+def pin_backend(args):
+    """Apply ``--cpu`` BEFORE any jax array is created.
+
+    Must be the first call after ``parse_args`` in every tool: stage
+    constructors device-put their tap tables, and on this environment the
+    default platform is the remote (exclusive, slow-first-transfer) TPU —
+    an array placed there before the CPU pin would stall jit lowering for
+    minutes when the constant is fetched back.
+    """
+    if getattr(args, "cpu", False):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
 
 def add_io_args(p: argparse.ArgumentParser):
@@ -42,8 +57,7 @@ def run_chain_tool(args, chain, *, out_rate_fn=lambda r: r, tool: str):
     checkpoint/resume.  Returns (out_path, Msamples/s)."""
     import jax
 
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
+    pin_backend(args)
     import jax.numpy as jnp
 
     x, rate = read_wav(args.input)

@@ -6,7 +6,7 @@
 
 import argparse
 
-from llzlab_tpu.cli.common import add_io_args, run_chain_tool
+from llzlab_tpu.cli.common import add_io_args, pin_backend, run_chain_tool
 
 
 def main(argv=None):
@@ -21,6 +21,7 @@ def main(argv=None):
     p.add_argument("--kaiser-beta", type=float, default=None)
     p.add_argument("--method", default="auto", choices=["auto", "ols", "direct"])
     args = p.parse_args(argv)
+    pin_backend(args)
 
     from llzlab_tpu.ops.fir import firwin
     from llzlab_tpu.pipeline import Chain, FIRStage

@@ -8,7 +8,7 @@
 
 import argparse
 
-from llzlab_tpu.cli.common import add_io_args, run_chain_tool
+from llzlab_tpu.cli.common import add_io_args, pin_backend, run_chain_tool
 
 
 def main(argv=None):
@@ -26,6 +26,7 @@ def main(argv=None):
     p.add_argument("--block-size", type=int, default=4096,
                    help="parallel-scan block length")
     args = p.parse_args(argv)
+    pin_backend(args)
 
     from llzlab_tpu.io.wav import wav_info
     from llzlab_tpu.ops.iir import butter_sos, cheby1_sos, peaking_eq_sos

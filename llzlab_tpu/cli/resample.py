@@ -6,7 +6,7 @@
 import argparse
 import math
 
-from llzlab_tpu.cli.common import add_io_args, run_chain_tool
+from llzlab_tpu.cli.common import add_io_args, pin_backend, run_chain_tool
 
 
 def main(argv=None):
@@ -15,6 +15,7 @@ def main(argv=None):
     p.add_argument("--rate", type=int, required=True, help="target sample rate")
     p.add_argument("--taps-per-phase", type=int, default=64)
     args = p.parse_args(argv)
+    pin_backend(args)
 
     from llzlab_tpu.io.wav import wav_info
     from llzlab_tpu.pipeline import Chain, ResampleStage

@@ -10,7 +10,7 @@ import argparse
 
 import numpy as np
 
-from llzlab_tpu.cli.common import add_io_args, run_chain_tool
+from llzlab_tpu.cli.common import add_io_args, pin_backend, run_chain_tool
 
 
 def main(argv=None):
@@ -24,6 +24,7 @@ def main(argv=None):
     p.add_argument("--notch", type=float, nargs=2, default=None,
                    metavar=("F_LO", "F_HI"), help="zero bins in [f_lo, f_hi] Hz")
     args = p.parse_args(argv)
+    pin_backend(args)
 
     from llzlab_tpu.io.wav import wav_info
     from llzlab_tpu.pipeline import Chain, SpectralGainStage

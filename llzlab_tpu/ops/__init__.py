@@ -18,6 +18,8 @@ from llzlab_tpu.ops.spectral import stft, istft, frame, overlap_add  # noqa: F40
 from llzlab_tpu.ops.fir import (  # noqa: F401
     firwin,
     firwin2,
+    firls,
+    minimum_phase,
     kaiserord,
     kaiser_beta,
     kaiser_atten,
@@ -68,8 +70,20 @@ from llzlab_tpu.ops.resample import (  # noqa: F401
 from llzlab_tpu.ops.window import get_window  # noqa: F401
 from llzlab_tpu.ops.mdct import mdct, imdct  # noqa: F401
 from llzlab_tpu.ops.dct import dct, idct, dst, idst  # noqa: F401
-from llzlab_tpu.ops.iir import sosfiltfilt, lfilter, tf2sos  # noqa: F401
+from llzlab_tpu.ops.iir import (  # noqa: F401
+    sosfiltfilt,
+    filtfilt,
+    lfilter,
+    lfilter_zi,
+    sosfilt_zi,
+    sosfilt_zi_scan,
+    tf2sos,
+)
+# NOTE: the scipy-named `resample` FUNCTION is exported only from the
+# top-level package — binding it here would shadow the `ops.resample`
+# submodule name.
 from llzlab_tpu.ops.resample import decimate  # noqa: F401
+from llzlab_tpu.ops.resample import resample as resample_fft  # noqa: F401
 from llzlab_tpu.ops.convolve import fftconvolve, correlate  # noqa: F401
 from llzlab_tpu.ops.analysis import (  # noqa: F401
     freqz,
@@ -81,6 +95,8 @@ from llzlab_tpu.ops.analysis import (  # noqa: F401
     hilbert,
     periodogram,
     welch,
+    csd,
+    coherence,
 )
 from llzlab_tpu.ops.smooth import (  # noqa: F401
     detrend,

@@ -16,7 +16,8 @@ import numpy as np
 
 from llzlab_tpu.ops import spectral as _sp
 
-__all__ = ["freqz", "sosfreqz", "group_delay", "spectrogram", "hilbert", "periodogram", "welch"]
+__all__ = ["freqz", "sosfreqz", "group_delay", "spectrogram", "hilbert",
+           "periodogram", "welch", "csd", "coherence"]
 
 
 def freqz(
@@ -169,6 +170,20 @@ def welch(
     from llzlab_tpu.ops.window import get_window
     from llzlab_tpu.ops.spectral import frame
 
+    f, spec, scale, dbl = _welch_segments(
+        x, fs, nperseg=nperseg, noverlap=noverlap, window=window,
+        detrend=detrend)
+    p = (jnp.abs(spec) ** 2) * scale
+    return f, jnp.mean(p * dbl, axis=-2)
+
+
+def _welch_segments(x, fs, *, nperseg, noverlap, window, detrend):
+    """Shared Welch machinery: windowed per-segment rFFTs plus the
+    density scale and one-sided doubling vector."""
+    from llzlab_tpu.ops import transform as _tf
+    from llzlab_tpu.ops.window import get_window
+    from llzlab_tpu.ops.spectral import frame
+
     noverlap = nperseg // 2 if noverlap is None else noverlap
     hop = nperseg - noverlap
     # scipy.get_window defaults to fftbins=True (periodic) inside welch
@@ -179,10 +194,55 @@ def welch(
     xw = fr * jnp.asarray(w.astype(np.float32))
     spec = _tf.rfft(xw, nperseg)
     scale = 1.0 / (fs * float(np.sum(w**2)))
-    p = (jnp.abs(spec) ** 2) * scale
     dbl = np.full(nperseg // 2 + 1, 2.0, np.float32)
     dbl[0] = 1.0
     if nperseg % 2 == 0:
         dbl[-1] = 1.0
     f = np.fft.rfftfreq(nperseg, 1.0 / fs)
-    return f, jnp.mean(p * jnp.asarray(dbl), axis=-2)
+    return f, spec, scale, jnp.asarray(dbl)
+
+
+def csd(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    fs: float = 1.0,
+    *,
+    nperseg: int = 256,
+    noverlap: Optional[int] = None,
+    window: str = "hann",
+    detrend: bool = True,
+) -> Tuple[np.ndarray, jnp.ndarray]:
+    """Cross power spectral density ``P_xy`` (scipy.signal.csd semantics:
+    Welch-averaged ``conj(X)·Y``, density-scaled, one-sided)."""
+    f, sx, scale, dbl = _welch_segments(
+        x, fs, nperseg=nperseg, noverlap=noverlap, window=window,
+        detrend=detrend)
+    _, sy, _, _ = _welch_segments(
+        y, fs, nperseg=nperseg, noverlap=noverlap, window=window,
+        detrend=detrend)
+    p = jnp.conj(sx) * sy * scale
+    return f, jnp.mean(p * dbl, axis=-2)
+
+
+def coherence(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    fs: float = 1.0,
+    *,
+    nperseg: int = 256,
+    noverlap: Optional[int] = None,
+    window: str = "hann",
+    detrend: bool = True,
+) -> Tuple[np.ndarray, jnp.ndarray]:
+    """Magnitude-squared coherence ``|P_xy|² / (P_xx · P_yy)``
+    (scipy.signal.coherence semantics)."""
+    f, sx, scale, dbl = _welch_segments(
+        x, fs, nperseg=nperseg, noverlap=noverlap, window=window,
+        detrend=detrend)
+    _, sy, _, _ = _welch_segments(
+        y, fs, nperseg=nperseg, noverlap=noverlap, window=window,
+        detrend=detrend)
+    pxy = jnp.mean(jnp.conj(sx) * sy, axis=-2)
+    pxx = jnp.mean(jnp.abs(sx) ** 2, axis=-2)
+    pyy = jnp.mean(jnp.abs(sy) ** 2, axis=-2)
+    return f, jnp.abs(pxy) ** 2 / (pxx * pyy)

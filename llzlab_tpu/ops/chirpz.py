@@ -106,40 +106,11 @@ def zoom_fft(
     return czt(x, m=m, w=w, a=a)
 
 
-@functools.partial(jax.jit, static_argnames=("num", "t"))
-def _resample_fourier_impl(x, *, num: int, t: int):
-    from llzlab_tpu.ops import transform as _tf
-
-    X = _tf.rfft(x.astype(jnp.float32), t)
-    nbins_in = t // 2 + 1
-    nbins_out = num // 2 + 1
-    nkeep = min(nbins_in, nbins_out)
-    sl = [slice(None)] * (X.ndim - 1) + [slice(0, nkeep)]
-    Y = X[tuple(sl)]
-    # scipy Nyquist conventions: downsampling folds the ±num/2 pair onto
-    # the output Nyquist bin (×2, irfft keeps its real part); upsampling
-    # splits the even input-Nyquist bin across ±t/2 (×0.5, the mirror is
-    # implied by conjugate symmetry).
-    if num < t and num % 2 == 0 and nkeep == nbins_out:
-        Y = Y.at[..., -1].set(Y[..., -1] * 2.0)
-    if num > t and t % 2 == 0:
-        Y = Y.at[..., nbins_in - 1].set(Y[..., nbins_in - 1] * 0.5)
-    if nbins_out > nkeep:
-        pad = [(0, 0)] * (Y.ndim - 1) + [(0, nbins_out - nkeep)]
-        Y = jnp.pad(Y, pad)
-    y = _tf.irfft(Y, num)
-    return y * (num / t)
-
-
 def resample_fourier(x: jnp.ndarray, num: int) -> jnp.ndarray:
-    """FFT-method resampling to ``num`` samples (scipy.signal.resample).
+    """Alias for :func:`llzlab_tpu.ops.resample.resample` (FFT method,
+    no spectral window) kept for the zoom-FFT/czt family's namespace."""
+    from llzlab_tpu.ops.resample import resample
 
-    Assumes the signal is periodic; for streaming rate conversion use
-    :func:`llzlab_tpu.ops.resample.resample_poly`.  Device op on the
-    matmul FFT path (both lengths should be MXU-friendly powers of two
-    for the fast path; any length works through the fallback).
-    """
-    t = x.shape[-1]
-    if num == t:
+    if num == x.shape[-1]:
         return x
-    return _resample_fourier_impl(x, num=num, t=t)
+    return resample(x, num)

@@ -42,6 +42,8 @@ __all__ = [
     "kaiser_beta",
     "kaiser_atten",
     "kaiserord",
+    "firls",
+    "minimum_phase",
     "fir_filter",
     "fir_halo",
     "default_nfft",
@@ -183,6 +185,95 @@ def kaiserord(ripple: float, width: float):
     beta = kaiser_beta(a)
     numtaps = (a - 7.95) / (2.285 * np.pi * width) + 1
     return int(math.ceil(numtaps)), beta
+
+
+def firls(numtaps: int, bands, desired, *, weight=None,
+          fs: float = 2.0) -> np.ndarray:
+    """Least-squares linear-phase FIR design (scipy.signal.firls semantics).
+
+    Minimises the weighted integrated squared error between the type-I
+    amplitude response and the piecewise-linear ``desired`` over ``bands``
+    (band-edge pairs in Hz).  Host-side float64: the normal equations
+    ``Q a = b`` use the closed-form cosine-product band integrals
+    (Q = ½·(Toeplitz(q) + Hankel(q))), so no frequency grid is involved.
+
+    ``numtaps`` must be odd (type I).  ``weight`` is one constant per band.
+    """
+    numtaps = int(numtaps)
+    if numtaps % 2 == 0 or numtaps < 1:
+        raise ValueError("numtaps must be odd and >= 1")
+    m = (numtaps - 1) // 2
+    bands = np.asarray(bands, np.float64).reshape(-1, 2) * (2.0 / fs)
+    desired = np.asarray(desired, np.float64).reshape(-1, 2)
+    if bands.shape[0] != desired.shape[0]:
+        raise ValueError("desired must have one value per band edge")
+    if weight is None:
+        weight = np.ones(bands.shape[0])
+    weight = np.asarray(weight, np.float64)
+
+    # q[j] = sum_bands W \int cos(pi j f) df,  j = 0 .. 2m
+    j = np.arange(2 * m + 1, dtype=np.float64)
+    f0, f1 = bands[:, 0][:, None], bands[:, 1][:, None]
+    # (bands, j): f*sinc(j f) = sin(pi j f)/(pi j), exact at j=0
+    q = np.sum(weight[:, None]
+               * (f1 * np.sinc(j * f1) - f0 * np.sinc(j * f0)), axis=0)
+
+    # b[k] = sum_bands W \int D(f) cos(pi k f) df with D linear in f.
+    # \int f cos(af) df = cos(af)/a^2 + f sin(af)/a  (a = pi k).
+    k = np.arange(m + 1, dtype=np.float64)
+    d0, d1 = desired[:, 0][:, None], desired[:, 1][:, None]
+    slope = (d1 - d0) / np.where(f1 > f0, f1 - f0, 1.0)
+    c0 = d0 - slope * f0  # D(f) = c0 + slope*f
+    # constant part: c0 * (f sinc(k f)) |_{f0}^{f1}
+    b = np.sum(weight[:, None] * c0
+               * (f1 * np.sinc(k * f1) - f0 * np.sinc(k * f0)), axis=0)
+    # linear part: slope * [cos(pi k f)/(pi k)^2 + f sin(pi k f)/(pi k)]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        a = np.pi * k
+        lin1 = (np.cos(a * f1) - np.cos(a * f0)) / (a * a)
+        lin = lin1 + f1 * f1 * np.sinc(k * f1) - f0 * f0 * np.sinc(k * f0)
+    # k = 0: \int f df = (f1^2 - f0^2)/2
+    lin[:, 0] = (f1[:, 0] ** 2 - f0[:, 0] ** 2) / 2.0
+    b += np.sum(weight[:, None] * slope * lin, axis=0)
+
+    from scipy.linalg import hankel, toeplitz
+
+    Q = 0.5 * (toeplitz(q[: m + 1]) + hankel(q[: m + 1], q[m:]))
+    try:
+        a_coef = np.linalg.solve(Q, b)
+    except np.linalg.LinAlgError:
+        a_coef = np.linalg.lstsq(Q, b, rcond=None)[0]
+    h = np.concatenate([a_coef[:0:-1] / 2.0, [a_coef[0]], a_coef[1:] / 2.0])
+    return h
+
+
+def minimum_phase(h, *, n_fft: Optional[int] = None) -> np.ndarray:
+    """Minimum-phase half-length filter from linear-phase ``h``
+    (scipy.signal.minimum_phase homomorphic method).
+
+    The log-magnitude cepstrum is folded onto the causal side and
+    re-exponentiated, yielding ``(len(h)+1)//2`` taps whose magnitude is
+    ``sqrt(|H|)`` — the standard route to minimum-phase FIRs for low-latency
+    streaming chains.  Host-side float64.
+    """
+    h = np.asarray(h, np.float64)
+    n = len(h)
+    if n_fft is None:
+        n_fft = 1 << int(math.ceil(math.log2(2 * (n - 1) / 0.01)))
+    if n_fft < n:
+        raise ValueError(f"n_fft must be >= len(h) == {n}")
+    h_spec = np.abs(np.fft.fft(h, n_fft))
+    h_spec += 1e-7 * h_spec[h_spec > 0].min()  # guard exact zeros
+    cep = np.fft.ifft(np.log(h_spec)).real * 0.5  # sqrt in log domain
+    win = np.zeros(n_fft)
+    win[0] = 1.0
+    stop = (n + 1) // 2
+    win[1:stop] = 2.0
+    if n % 2:
+        win[stop] = 1.0
+    h_min = np.fft.ifft(np.exp(np.fft.fft(cep * win))).real
+    n_out = (n + 1) // 2
+    return h_min[:n_out]
 
 
 # ---------------------------------------------------------------------------

@@ -50,7 +50,11 @@ __all__ = [
     "rbj_biquad",
     "sosfilt",
     "sosfiltfilt",
+    "filtfilt",
     "lfilter",
+    "lfilter_zi",
+    "sosfilt_zi",
+    "sosfilt_zi_scan",
     "tf2sos",
     "sos_state_matrices",
     "sos_plan",
@@ -960,6 +964,120 @@ def lfilter(
     )
 
 
+def lfilter_zi(b, a) -> np.ndarray:
+    """Steady-state DF2T initial conditions for a unit-amplitude step
+    (scipy.signal.lfilter_zi semantics, host-side float64).
+
+    Scale by the first signal sample to suppress the startup transient of
+    scipy-style ``lfilter``.  Note our :func:`lfilter` dispatches IIR
+    filters to the SOS scan engine whose ``zi`` lives in the scan
+    realization — for streaming with that engine use
+    :func:`sosfilt_zi_scan`; this function exists for scipy-parity
+    analysis workflows.
+    """
+    b = np.atleast_1d(np.asarray(b, np.float64))
+    a = np.atleast_1d(np.asarray(a, np.float64))
+    while len(a) > 1 and a[0] == 0.0:
+        a = a[1:]
+    if a[0] != 1.0:
+        b = b / a[0]
+        a = a / a[0]
+    n = max(len(a), len(b))
+    a = np.pad(a, (0, n - len(a)))
+    b = np.pad(b, (0, n - len(b)))
+    # companion(a).T: first column −a[1:], superdiagonal ones
+    comp_t = np.zeros((n - 1, n - 1))
+    comp_t[:, 0] = -a[1:]
+    comp_t[np.arange(n - 2), np.arange(1, n - 1)] = 1.0
+    iminus_a = np.eye(n - 1) - comp_t
+    bv = b[1:] - a[1:] * b[0]
+    return np.linalg.solve(iminus_a, bv)
+
+
+def sosfilt_zi(sos) -> np.ndarray:
+    """Per-section steady-state DF2T initial conditions ``(ns, 2)``
+    (scipy.signal.sosfilt_zi semantics, host-side float64).
+
+    Sections are scaled cumulatively by the DC gain of everything before
+    them, exactly like scipy.  For our scan engine's representation use
+    :func:`sosfilt_zi_scan`.
+    """
+    sos = np.asarray(sos, np.float64)
+    if sos.ndim != 2 or sos.shape[1] != 6:
+        raise ValueError(f"sos must be (ns, 6), got {sos.shape}")
+    zi = np.empty((sos.shape[0], 2))
+    scale = 1.0
+    for s, row in enumerate(sos):
+        b, a = row[:3], row[3:]
+        zi[s] = scale * lfilter_zi(b, a)
+        scale *= np.sum(b) / np.sum(a)  # H(1)
+    return zi
+
+
+def sosfilt_zi_scan(sos) -> np.ndarray:
+    """Steady-state initial conditions ``(ns, 2)`` in the scan engine's
+    own realization (coupled / companion per :func:`section_realization`).
+
+    ``sosfilt(sos, c * ones, zi=c * sosfilt_zi_scan(sos))`` starts with no
+    transient: per section the fixed point of ``s = A s + B u`` is solved
+    in float64 — coupled form ``w* = u/(1 − p)`` with the complex pole
+    ``p``, companion form ``s* = (I − A)⁻¹ B u`` — and the section's
+    steady output ``u·H(1)`` feeds the next section.
+    """
+    sos = np.asarray(sos, np.float64)
+    if sos.ndim != 2 or sos.shape[1] != 6:
+        raise ValueError(f"sos must be (ns, 6), got {sos.shape}")
+    zi = np.empty((sos.shape[0], 2))
+    u = 1.0
+    for s, row in enumerate(sos):
+        kind, p = section_realization(row)
+        if kind == "coupled":
+            alpha, beta = p[0], p[1]
+            w = u / (1.0 - (alpha + 1j * beta))
+            zi[s] = [w.real, w.imag]
+        else:
+            _, _, _, _, a1, a2 = row
+            A = np.array([[-a1, 1.0], [-a2, 0.0]])
+            B = np.array([row[1] - a1 * row[0], row[2] - a2 * row[0]])
+            zi[s] = np.linalg.solve(np.eye(2) - A, B * u)
+        u *= np.sum(row[:3]) / np.sum(row[3:])  # H(1)
+    return zi
+
+
+def filtfilt(
+    b,
+    a,
+    x: jnp.ndarray,
+    *,
+    block_size: int = 4096,
+    padlen: Optional[int] = None,
+) -> jnp.ndarray:
+    """Zero-phase transfer-function filtering (scipy.filtfilt analog).
+
+    Factors ``(b, a)`` into second-order sections and runs
+    :func:`sosfiltfilt` (odd-reflection padding + steady-state start) —
+    the SOS route is the numerically robust choice on f32 hardware.
+    """
+    a_np = np.atleast_1d(np.asarray(a, np.float64))
+    b_np = np.atleast_1d(np.asarray(b, np.float64))
+    if padlen is None:
+        padlen = 3 * max(len(a_np), len(b_np))
+    if len(a_np) == 1:
+        from llzlab_tpu.ops import fir as _fir
+
+        t = x.shape[-1]
+        padlen = min(padlen, t - 1)
+        head = 2 * x[..., :1] - x[..., 1 : padlen + 1][..., ::-1]
+        tail = 2 * x[..., -1:] - x[..., -padlen - 1 : -1][..., ::-1]
+        xe = jnp.concatenate([head, x, tail], axis=-1)
+        taps = b_np / a_np[0]
+        y = _fir.fir_filter(xe, taps)
+        y = _fir.fir_filter(y[..., ::-1], taps)[..., ::-1]
+        return y[..., padlen : padlen + t]
+    sos = tf2sos(b_np, a_np)
+    return sosfiltfilt(sos, x, block_size=block_size, padlen=padlen)
+
+
 def sosfiltfilt(
     sos,
     x: jnp.ndarray,
@@ -969,7 +1087,8 @@ def sosfiltfilt(
 ) -> jnp.ndarray:
     """Zero-phase filtering: forward → reverse → forward → reverse.
 
-    Odd-reflection edge padding (scipy.sosfiltfilt-style) suppresses
+    Odd-reflection edge padding plus steady-state initial conditions
+    scaled by the first padded sample (scipy.sosfiltfilt-style) suppress
     startup transients; the result has zero group delay and the squared
     magnitude response of ``sos``.
     """
@@ -977,14 +1096,20 @@ def sosfiltfilt(
     t = x.shape[-1]
     if padlen is None:
         padlen = min(3 * 2 * sos_np.shape[0] * 8, t - 1)
+    padlen = min(padlen, t - 1)
     if padlen > 0:
         head = 2 * x[..., :1] - x[..., 1 : padlen + 1][..., ::-1]
         tail = 2 * x[..., -1:] - x[..., -padlen - 1 : -1][..., ::-1]
         xe = jnp.concatenate([head, x, tail], axis=-1)
     else:
         xe = x
-    y = sosfilt(sos_np, xe, block_size=block_size)
-    y = sosfilt(sos_np, y[..., ::-1], block_size=block_size)[..., ::-1]
+    zi1 = jnp.asarray(sosfilt_zi_scan(sos_np), jnp.float32)
+    bshape = x.shape[:-1] + (1, 1)
+    y = sosfilt(sos_np, xe, block_size=block_size,
+                zi=xe[..., :1].reshape(bshape) * zi1)
+    yr = y[..., ::-1]
+    y = sosfilt(sos_np, yr, block_size=block_size,
+                zi=yr[..., :1].reshape(bshape) * zi1)[..., ::-1]
     if padlen > 0:
         y = y[..., padlen : padlen + t]
     return y

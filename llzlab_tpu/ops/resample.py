@@ -42,7 +42,57 @@ __all__ = [
     "resample_output_len",
     "resample_halo",
     "decimate",
+    "resample",
 ]
+
+
+def resample(x: jnp.ndarray, num: int, *, window=None) -> jnp.ndarray:
+    """Fourier-domain resampling to exactly ``num`` samples along the last
+    axis (scipy.signal.resample semantics for real input).
+
+    The rFFT spectrum is truncated / zero-extended to the new rate with
+    scipy's Nyquist-bin split, optionally shaped by ``window`` (a
+    :func:`llzlab_tpu.ops.window.get_window` spec applied to the full
+    spectrum in fftshift order).  Best for periodic signals; for streaming
+    rational ratios use :func:`resample_poly`.
+    """
+    from llzlab_tpu.ops.window import get_window
+
+    t = x.shape[-1]
+    num = int(num)
+    if window is not None:
+        w_full = np.fft.ifftshift(get_window(window, t, periodic=True))
+        # fold negative-frequency window halves onto the rfft bins
+        w_real = w_full.copy()
+        w_real[1:] += w_full[-1:0:-1]
+        w_real[1:] *= 0.5
+        w = jnp.asarray(w_real[: t // 2 + 1].astype(np.float32))
+    else:
+        w = None
+    return _resample_impl_fft(x, w, num=num, t=t)
+
+
+@functools.partial(jax.jit, static_argnames=("num", "t"))
+def _resample_impl_fft(x, w, *, num: int, t: int):
+    from llzlab_tpu.ops import transform as _tf
+
+    spec = _tf.rfft(x.astype(jnp.float32), t)
+    if w is not None:
+        spec = spec * w
+    n = min(num, t)
+    nyq = n // 2 + 1
+    out_bins = num // 2 + 1
+    y = jnp.zeros(x.shape[:-1] + (out_bins,), spec.dtype)
+    y = y.at[..., :nyq].set(spec[..., :nyq])
+    if n % 2 == 0:
+        if num < t:
+            # folding the (dropped) negative Nyquist partner back in
+            y = y.at[..., n // 2].multiply(2.0)
+        elif num > t:
+            # the old Nyquist bin splits between ±N/2 of the longer signal
+            y = y.at[..., n // 2].multiply(0.5)
+    out = _tf.irfft(y, num)
+    return (out * (num / t)).astype(x.dtype)
 
 
 def decimate(
