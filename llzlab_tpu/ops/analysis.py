@@ -177,6 +177,17 @@ def welch(
     return f, jnp.mean(p * dbl, axis=-2)
 
 
+def _match_lengths(x, y):
+    """Zero-pad the shorter of two signals to the longer one's length
+    along the last axis (scipy.signal.csd/coherence behavior)."""
+    tx, ty = x.shape[-1], y.shape[-1]
+    if tx < ty:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, ty - tx)])
+    elif ty < tx:
+        y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, tx - ty)])
+    return x, y
+
+
 def _welch_segments(x, fs, *, nperseg, noverlap, window, detrend):
     """Shared Welch machinery: windowed per-segment rFFTs plus the
     density scale and one-sided doubling vector."""
@@ -214,6 +225,7 @@ def csd(
 ) -> Tuple[np.ndarray, jnp.ndarray]:
     """Cross power spectral density ``P_xy`` (scipy.signal.csd semantics:
     Welch-averaged ``conj(X)·Y``, density-scaled, one-sided)."""
+    x, y = _match_lengths(x, y)
     f, sx, scale, dbl = _welch_segments(
         x, fs, nperseg=nperseg, noverlap=noverlap, window=window,
         detrend=detrend)
@@ -235,14 +247,23 @@ def coherence(
     detrend: bool = True,
 ) -> Tuple[np.ndarray, jnp.ndarray]:
     """Magnitude-squared coherence ``|P_xy|² / (P_xx · P_yy)``
-    (scipy.signal.coherence semantics)."""
-    f, sx, scale, dbl = _welch_segments(
-        x, fs, nperseg=nperseg, noverlap=noverlap, window=window,
-        detrend=detrend)
-    _, sy, _, _ = _welch_segments(
-        y, fs, nperseg=nperseg, noverlap=noverlap, window=window,
-        detrend=detrend)
+    (scipy.signal.coherence semantics).
+
+    As in scipy, ``P_xx``/``P_yy`` are Welch estimates of each UNPADDED
+    input; only the cross term zero-pads the shorter signal (scipy's
+    ``coherence`` delegates to ``welch(x)``, ``welch(y)``, ``csd(x, y)``).
+    """
+    kw = dict(nperseg=nperseg, noverlap=noverlap, window=window,
+              detrend=detrend)
+    f, sx0, _, _ = _welch_segments(x, fs, **kw)
+    _, sy0, _, _ = _welch_segments(y, fs, **kw)
+    pxx = jnp.mean(jnp.abs(sx0) ** 2, axis=-2)
+    pyy = jnp.mean(jnp.abs(sy0) ** 2, axis=-2)
+    xp, yp = _match_lengths(x, y)
+    sx, sy = sx0, sy0
+    if xp.shape[-1] != x.shape[-1]:
+        _, sx, _, _ = _welch_segments(xp, fs, **kw)
+    if yp.shape[-1] != y.shape[-1]:
+        _, sy, _, _ = _welch_segments(yp, fs, **kw)
     pxy = jnp.mean(jnp.conj(sx) * sy, axis=-2)
-    pxx = jnp.mean(jnp.abs(sx) ** 2, axis=-2)
-    pyy = jnp.mean(jnp.abs(sy) ** 2, axis=-2)
     return f, jnp.abs(pxy) ** 2 / (pxx * pyy)

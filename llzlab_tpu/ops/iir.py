@@ -1067,9 +1067,12 @@ def filtfilt(
 
         t = x.shape[-1]
         padlen = min(padlen, t - 1)
-        head = 2 * x[..., :1] - x[..., 1 : padlen + 1][..., ::-1]
-        tail = 2 * x[..., -1:] - x[..., -padlen - 1 : -1][..., ::-1]
-        xe = jnp.concatenate([head, x, tail], axis=-1)
+        if padlen > 0:
+            head = 2 * x[..., :1] - x[..., 1 : padlen + 1][..., ::-1]
+            tail = 2 * x[..., -1:] - x[..., -padlen - 1 : -1][..., ::-1]
+            xe = jnp.concatenate([head, x, tail], axis=-1)
+        else:
+            xe = x
         taps = b_np / a_np[0]
         y = _fir.fir_filter(xe, taps)
         y = _fir.fir_filter(y[..., ::-1], taps)[..., ::-1]

@@ -162,9 +162,12 @@ def cosine(n: int, periodic: bool = False) -> np.ndarray:
 
 def exponential(n: int, center=None, tau: float = 1.0,
                 periodic: bool = False) -> np.ndarray:
-    """Exponential (Poisson) window.  ``center=None`` → symmetric peak."""
-    if periodic and center is not None:
-        raise ValueError("periodic windows must be center-symmetric")
+    """Exponential (Poisson) window.  ``center=None`` → symmetric peak.
+
+    Matches ``scipy.signal.windows.exponential``: an explicit ``center``
+    is used as-is (also with ``periodic=True``, where scipy computes on
+    the extended grid and truncates).
+    """
     m = n + 1 if periodic else n
     if center is None:
         center = (m - 1) / 2.0
@@ -297,8 +300,10 @@ _PARAM_WINDOWS = {
     "kaiser": kaiser,
     "gaussian": gaussian,
     "tukey": tukey,
-    "exponential": lambda n, tau, periodic=False: exponential(
-        n, tau=tau, periodic=periodic),
+    # scipy passes tuple params positionally: ("exponential", center, tau).
+    # A lone parameter is therefore the CENTER (scipy 1.17 semantics), not
+    # tau — use ("exponential", None, tau) for a symmetric Poisson window.
+    "exponential": exponential,
     "chebwin": chebwin,
     "general_cosine": general_cosine,
     "general_hamming": general_hamming,
@@ -311,7 +316,7 @@ def get_window(window, n: int, periodic: bool = False) -> np.ndarray:
     ``window`` may be a name (``"hann"``, ``"blackmanharris"``,
     ``"flattop"``, ...), a parameterised tuple (``("kaiser", beta)``,
     ``("gaussian", std)``, ``("tukey", alpha)``, ``("chebwin", at_dB)``,
-    ``("exponential", tau)``), or an array of length ``n``.
+    ``("exponential", center, tau)``), or an array of length ``n``.
     """
     if isinstance(window, str):
         try:
@@ -325,7 +330,8 @@ def get_window(window, n: int, periodic: bool = False) -> np.ndarray:
             raise ValueError(f"unknown window {window!r}")
         if name.lower() == "general_cosine":
             return fn(n, params[0], periodic=periodic)
-        return fn(n, *[float(p) for p in params], periodic=periodic)
+        return fn(n, *[None if p is None else float(p) for p in params],
+                  periodic=periodic)
     arr = np.asarray(window, dtype=np.float64)
     if arr.shape != (n,):
         raise ValueError(f"window array has shape {arr.shape}, expected ({n},)")

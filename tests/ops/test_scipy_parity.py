@@ -77,6 +77,14 @@ class TestWindows:
         np.testing.assert_allclose(
             lw.get_window("flattop", 64, periodic=True),
             ss.get_window("flattop", 64), atol=1e-12)
+        # scipy positional semantics: a lone parameter is the CENTER,
+        # ("exponential", None, tau) selects tau (ADVICE r2).
+        np.testing.assert_allclose(
+            lw.get_window(("exponential", 10.0), 64, periodic=True),
+            ss.get_window(("exponential", 10.0), 64), atol=1e-12)
+        np.testing.assert_allclose(
+            lw.get_window(("exponential", None, 3.0), 64, periodic=True),
+            ss.get_window(("exponential", None, 3.0), 64), atol=1e-12)
 
 
 class TestFirls:
@@ -170,6 +178,14 @@ class TestFiltfilt:
         mine = np.asarray(lz.filtfilt(b, a, jnp.asarray(x)))
         assert snr(ref, mine) >= 100.0
 
+    def test_filtfilt_fir_one_sample(self):
+        """t==1 clamps padlen to 0; must not crash on the empty
+        reflection slice (ADVICE r2)."""
+        y = np.asarray(lz.filtfilt([0.5, 0.5], [1.0],
+                                   jnp.asarray([2.0], jnp.float32)))
+        assert y.shape == (1,)
+        assert np.isfinite(y).all()
+
     def test_filtfilt_fir(self, snr):
         rng = np.random.default_rng(73)
         x = rng.standard_normal(8192).astype(np.float32)
@@ -217,6 +233,24 @@ class TestCrossSpectral:
         err = p2 - p1
         s = 10 * np.log10(np.sum(np.abs(p2) ** 2) / np.sum(np.abs(err) ** 2))
         assert s >= 110.0
+
+    def test_csd_unequal_lengths(self, snr):
+        """scipy zero-pads the shorter input; we must match (ADVICE r2)."""
+        x, y = self._xy()
+        y = y[:6000]
+        f1, p1 = csd(jnp.asarray(x), jnp.asarray(y), fs=2.0, nperseg=256)
+        f2, p2 = ss.csd(x.astype(np.float64), y.astype(np.float64),
+                        fs=2.0, nperseg=256)
+        np.testing.assert_allclose(f1, f2)
+        err = p2 - np.asarray(p1)
+        s = 10 * np.log10(np.sum(np.abs(p2) ** 2) / np.sum(np.abs(err) ** 2))
+        assert s >= 110.0
+        # and the flipped order (x shorter)
+        f3, p3 = coherence(jnp.asarray(y), jnp.asarray(x), fs=2.0,
+                           nperseg=256)
+        _, c2 = ss.coherence(y.astype(np.float64), x.astype(np.float64),
+                             fs=2.0, nperseg=256)
+        assert snr(c2, np.asarray(p3)) >= 100.0
 
     def test_coherence(self, snr):
         x, y = self._xy()
