@@ -41,7 +41,8 @@ def snr_db(ref, y):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--suite", default="all",
-                   choices=["all", "chain", "fir", "iir"])
+                   help="comma-separated subset of "
+                        "{all,chain,fir,iir,fir1ch,fusedsweep,fft}")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--channels", type=int, default=64)
     p.add_argument("--block", type=int, default=245760)
@@ -60,6 +61,11 @@ def main():
     from llzlab_tpu.ops import fir as fir_mod
 
     log(f"backend={jax.default_backend()} dev={jax.devices()[0].device_kind}")
+
+    suites = set(args.suite.split(","))
+
+    def want(name):
+        return "all" in suites or name in suites
 
     C, T, ITERS = args.channels, args.block, args.iters
     rng = np.random.default_rng(0)
@@ -87,7 +93,7 @@ def main():
     rtaps = lz.resample_taps(147, 160, 64)
 
     # ---- chain: 1024-tap FIR + 147/160 resample (the headline) ----------
-    if args.suite in ("all", "chain"):
+    if want("chain"):
         from llzlab_tpu.kernels import fused_fir_resample as ff
 
         y64 = ss.lfilter(taps, [1.0], x_np[0].astype(np.float64))
@@ -137,7 +143,7 @@ def main():
         os.environ["LLZ_MATMUL_PRECISION"] = "highest"
 
     # ---- fir: engines at 1024 taps ---------------------------------------
-    if args.suite in ("all", "fir"):
+    if want("fir"):
         ref = ss.lfilter(taps, [1.0], x_np[:2].astype(np.float64), axis=-1)
         for method in ("ols", "block2", "im2col"):
             for prec in ("high", "highest"):
@@ -159,7 +165,7 @@ def main():
         os.environ["LLZ_MATMUL_PRECISION"] = "highest"
 
     # ---- iir: the sosfilt engine matrix (ops/iir_select.py source) ------
-    if args.suite in ("all", "iir"):
+    if want("iir"):
         sos8 = lz.peaking_eq_sos(
             [100, 300, 700, 1500, 3000, 6000, 10000, 15000],
             [3, -4, 2, 5, -3, 4, -2, 3], 48000, q=1.0)
@@ -191,6 +197,114 @@ def main():
             report(op="iir", engine="matmul", precision=prec,
                    msps=round(timeit(mm_f, x3), 1),
                    snr=round(snr_db(ref, y), 1))
+
+    def timeit_n(fn, samples, iters, *fargs):
+        """Like timeit but with explicit sample count / scan length."""
+        @jax.jit
+        def go(*a):
+            def body(c, _):
+                return c, fn(*a)[0, -1]
+            _, probes = lax.scan(body, 0, None, length=iters)
+            return probes
+
+        r = go(*fargs); r.block_until_ready()
+        t1 = time.perf_counter()
+        r = go(*fargs); r.block_until_ready()
+        return samples * iters / (time.perf_counter() - t1) / 1e6
+
+    # ---- fir1ch: config-1 spec shape (VERDICT r2 missing #5) -------------
+    # 1 channel × 10 s of 48 kHz audio, 1024-tap lowpass; the fold-into-M
+    # dispatch routes this to the Pallas kernel with time-blocks as rows.
+    if want("fir1ch"):
+        t1ch = 480000 // 1024 * 1024
+        x1 = jnp.asarray(x_np[:1, :t1ch]) if T >= t1ch else jnp.asarray(
+            rng.standard_normal((1, t1ch)).astype(np.float32))
+        ref = ss.lfilter(taps, [1.0],
+                         np.asarray(x1, np.float64), axis=-1)
+        n1 = max(ITERS * 10, 50)
+        for prec in ("high", "highest"):
+            os.environ["LLZ_MATMUL_PRECISION"] = prec
+            jax.clear_caches()
+            st0 = jnp.zeros((1, 1024), jnp.float32)
+
+            @jax.jit
+            def f1(x, st=st0):
+                y, _ = lz.fir_filter(x, taps, method="block2", zi=st,
+                                     return_zf=True)
+                return y
+
+            y = np.asarray(f1(x1))
+            report(op="fir1ch", engine="block2(fold)", precision=prec,
+                   t=t1ch, iters=n1,
+                   msps=round(timeit_n(f1, t1ch, n1, x1), 1),
+                   snr=round(snr_db(ref, y), 1))
+        os.environ["LLZ_MATMUL_PRECISION"] = "highest"
+
+    # ---- fusedsweep: fused kernel tile-parameter sweep (VERDICT r2 #1) ---
+    if want("fusedsweep"):
+        from llzlab_tpu.kernels import fused_fir_resample as ff
+        from llzlab_tpu.kernels import block2_fir as bf
+
+        k = len(rtaps) // 147
+        interp = jax.default_backend() not in ("tpu", "axon")
+        y64 = ss.lfilter(taps, [1.0], x_np[0].astype(np.float64))
+        z64 = ss.upfirdn(rtaps, y64, 147, 160)
+        st0 = jnp.zeros((C, ff.fused_state_len(1024)), jnp.float32)
+        for gb in (2, 4, 8):
+            for rs_batch in (4, 8, 16):
+                @jax.jit
+                def cf(x, st=st0, _g=gb, _r=rs_batch):
+                    z, _ = ff.fused_fir_resample_pallas(
+                        x, taps, 147, 160, rtaps, zi=st, return_zf=True,
+                        mode="high", interpret=interp, gb=_g, rs_batch=_r)
+                    return z
+
+                try:
+                    z = cf(x)
+                    ours = np.asarray(z[0], np.float64)
+                    report(op="fusedsweep", gb=gb, rs_batch=rs_batch,
+                           msps=round(timeit(cf, x), 1),
+                           snr=round(snr_db(z64[: ours.shape[0]], ours), 1))
+                except Exception as e:  # VMEM overflow etc. — record it
+                    report(op="fusedsweep", gb=gb, rs_batch=rs_batch,
+                           error=str(e)[:120])
+
+        # per-stage attribution: FIR-only Pallas kernel on the same shapes
+        # (stage-2 cost ≈ chain step − this)
+        xpad0 = jnp.concatenate(
+            [jnp.zeros((C, 1024), jnp.float32), x], axis=1)
+
+        @jax.jit
+        def fir_only(xp):
+            return bf.block2_fir_pallas(xp, taps, 1024, mode="high",
+                                        interpret=interp)
+
+        report(op="fusedsweep", stage="fir_only_pallas",
+               msps=round(timeit(fir_only, xpad0), 1))
+
+    # ---- fft: standalone FFT kernel rows (VERDICT r2 missing #1) ---------
+    if want("fft"):
+        nfft = 2048
+        frames = (C * T) // nfft
+        xf = x[:, : frames // C * C * nfft].reshape(C, -1, nfft)
+        ref = np.fft.rfft(np.asarray(xf[:2], np.float64), axis=-1)
+        methods = ["matmul", "xla"] if not args.cpu else ["xla"]
+        for method in methods:
+            @jax.jit
+            def ffn(v, _m=method):
+                return jnp.abs(lz.rfft(v, nfft, method=_m))
+
+            try:
+                y = lz.rfft(xf[:2], nfft, method=method)
+                yh = (np.asarray(jnp.real(y), np.float64)
+                      + 1j * np.asarray(jnp.imag(y), np.float64))
+                samples = xf.shape[0] * xf.shape[1] * nfft
+                report(op="fft", engine=method, nfft=nfft,
+                       msps=round(timeit_n(
+                           lambda v: ffn(v)[0, -1:], samples, ITERS, xf), 1),
+                       snr=round(snr_db(ref, yh), 1))
+            except Exception as e:
+                report(op="fft", engine=method, error=str(e)[:120])
 
     log("done")
 

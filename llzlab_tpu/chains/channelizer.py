@@ -45,8 +45,12 @@ class Channelizer:
       up, down: resampling ratio (default 147/160 = 48 k→44.1 k).
       fft_n: spectral frame length (default 2048).
       resample_taps: polyphase prototype (default 64 taps/phase design).
-      fir_method: "ols" | "direct" | "block2" (two-matmul Toeplitz — the
-        measured TPU winner at ≤2k taps, see ops/fir.py).
+      fir_method: "auto" (default — resolves to the measured winner for
+        the backend: "fused" on TPU when the fused FIR+resample Pallas
+        kernel's static envelope accepts the filter, else "block2" on
+        TPU, else "ols" on CPU) | "fused" (single VMEM-resident Pallas
+        step, kernels/fused_fir_resample.py) | "ols" | "direct" |
+        "block2" (two-matmul Toeplitz).
     """
 
     def __init__(
@@ -58,7 +62,7 @@ class Channelizer:
         fft_n: int = 2048,
         resample_taps=None,
         taps_per_phase: int = 64,
-        fir_method: str = "ols",
+        fir_method: str = "auto",
         fft_method: str = "auto",
     ):
         if fir_taps is None:
@@ -74,12 +78,34 @@ class Channelizer:
         self.resample_taps = rt
         self.k = len(rt) // self.up
         self.fft_n = fft_n
+        ntaps = len(self.fir_taps)
+        from llzlab_tpu.kernels import fused_fir_resample as _ff
+
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        if fir_method == "auto":
+            if on_tpu and _ff.fused_static_ok(ntaps, self.up, self.down,
+                                              self.k):
+                fir_method = "fused"
+            elif on_tpu and ntaps <= 2048:
+                fir_method = "block2"
+            else:
+                fir_method = "ols"
         self.fir_method = fir_method
         self.fft_method = fft_method
-        ntaps = len(self.fir_taps)
         self.nfft = _fir.default_nfft(ntaps)
-        self.h_fir = _fir.fir_state_len(ntaps, self.nfft, fir_method)
-        self.h_rs = self.k - 1
+        if fir_method == "fused":
+            if not _ff.fused_static_ok(ntaps, self.up, self.down, self.k):
+                raise ValueError(
+                    "fir_method='fused' rejected: filter/ratio outside "
+                    "the fused kernel's envelope (see fused_static_ok)"
+                )
+            # Single combined state: the last 2·block INPUT samples carry
+            # both the FIR history and the resampler's y-lookback reach.
+            self.h_fir = _ff.fused_state_len(ntaps)
+            self.h_rs = 0
+        else:
+            self.h_fir = _fir.fir_state_len(ntaps, self.nfft, fir_method)
+            self.h_rs = self.k - 1
 
     # ---------------- granularity ----------------
 
@@ -91,6 +117,11 @@ class Channelizer:
             hop = _fir.ols_hop(len(self.fir_taps), self.nfft)
         elif self.fir_method == "block2":
             hop = _fir.block2_block(len(self.fir_taps))
+        elif self.fir_method == "fused":
+            from llzlab_tpu.kernels import fused_fir_resample as _ff
+
+            hop = _ff.fused_program_in(
+                len(self.fir_taps), self.up, self.down)
         else:
             hop = 1
         m = _lcm(hop, self.down)
@@ -109,8 +140,55 @@ class Channelizer:
 
     # ---------------- single-device step ----------------
 
+    def _fused_mode(self) -> str:
+        import os
+
+        return {"highest": "highest", "high": "high", "default": "high"}[
+            os.environ.get("LLZ_MATMUL_PRECISION", "highest").lower()
+        ]
+
+    def _fused_step(self, x: jnp.ndarray, hist: jnp.ndarray):
+        """Fused-engine local compute: ``(x, 2·block input history)`` →
+        ``(z, new_history)``.
+
+        Runs the VMEM-resident Pallas kernel when the per-call shapes fit
+        its envelope; otherwise an unfused fallback on the SAME state
+        layout (the 2·block history is a superset of the block2 FIR
+        history, and the resampler's k−1 y-samples are recomputed from
+        it — they depend only on the last k−1+ntaps−1 ≤ 2·block inputs).
+        """
+        from llzlab_tpu.kernels import fused_fir_resample as _ff
+
+        ntaps = len(self.fir_taps)
+        c = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+        t = x.shape[-1]
+        mode = self._fused_mode()
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        if _ff.fused_supports(c, ntaps, self.up, self.down, self.k, t):
+            z, zf = _ff.fused_fir_resample_pallas(
+                x, self.fir_taps, self.up, self.down, self.resample_taps,
+                zi=hist, return_zf=True, mode=mode, interpret=not on_tpu,
+            )
+            return z, zf
+        block = _fir.block2_block(ntaps)
+        y = _fir.fir_filter(
+            x, self.fir_taps, method="block2", zi=hist[..., -block:],
+        )
+        yh = _fir.fir_filter(hist, self.fir_taps, method="block2")
+        rs_zi = yh[..., -(self.k - 1):]
+        z = _rs.resample_poly(
+            y, self.up, self.down, taps=self.resample_taps, zi=rs_zi,
+        )
+        zf = jnp.concatenate([hist, x.astype(hist.dtype)],
+                             axis=-1)[..., -hist.shape[-1]:]
+        return z, zf
+
     def step(self, x: jnp.ndarray, state):
         """Unsharded pure step: ``(C, T)`` → ``(C, F, fft_n//2+1)``."""
+        if self.fir_method == "fused":
+            hist, rs_st = state
+            z, zf = self._fused_step(x, hist)
+            return self._frames(z), (zf, rs_st)
         fir_st, rs_st = state
         y, fir_tail = _fir.fir_filter(
             x, self.fir_taps, method=self.fir_method, nfft=self.nfft,
@@ -168,6 +246,14 @@ class Channelizer:
             raise ValueError(f"unknown halo mode {halo!r}")
 
         def local(x_l, fir_st, rs_st):
+            if self.fir_method == "fused":
+                # ONE halo: the 2·block input history carries both the
+                # FIR reach and the resampler's y-lookback, so the fused
+                # engine halves the chain's steady-state collectives.
+                halo = halo_fn(x_l, self.h_fir, fir_st, 13)
+                z, _ = self._fused_step(x_l, halo)
+                tail = broadcast_from_last(x_l[..., -self.h_fir:])
+                return self._frames(z), tail, rs_st
             halo_f = halo_fn(x_l, self.h_fir, fir_st, 13)
             y, _ = _fir.fir_filter(
                 x_l, self.fir_taps, method=self.fir_method, nfft=self.nfft,

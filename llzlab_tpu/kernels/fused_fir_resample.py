@@ -54,6 +54,7 @@ from llzlab_tpu.ops.resample import polyphase_weights, resample_output_len
 __all__ = [
     "fused_fir_resample_pallas",
     "fused_supports",
+    "fused_static_ok",
     "fused_program_in",
     "fused_state_len",
     "fused_tables",
@@ -74,19 +75,26 @@ def fused_state_len(ntaps: int) -> int:
     return 2 * block2_block(ntaps)
 
 
-def fused_supports(channels: int, ntaps: int, up: int, down: int,
-                   k: int, t: int) -> bool:
-    """Shape envelope this kernel handles (caller falls back otherwise)."""
+def fused_static_ok(ntaps: int, up: int, down: int, k: int) -> bool:
+    """Channel/length-independent part of the shape envelope (usable at
+    chain-construction time before the batch is known)."""
     block = block2_block(ntaps)
-    if not (channels >= 8 and channels % 8 == 0):
-        return False
     if not (ntaps - 1 <= block <= 2048):
         return False
     if k - 1 > block or k - 1 > down + block:  # halo must fit one y-block
         return False
     p = fused_program_in(ntaps, up, down)
-    if p > 65536:  # VMEM envelope (~P·B·4·2 bytes of input double-buffer)
+    return p <= 65536  # VMEM envelope (~P·B·4·2 bytes input double-buffer)
+
+
+def fused_supports(channels: int, ntaps: int, up: int, down: int,
+                   k: int, t: int) -> bool:
+    """Shape envelope this kernel handles (caller falls back otherwise)."""
+    if not (channels >= 8 and channels % 8 == 0):
         return False
+    if not fused_static_ok(ntaps, up, down, k):
+        return False
+    p = fused_program_in(ntaps, up, down)
     return t % p == 0 and t > 0
 
 
@@ -289,7 +297,7 @@ def fused_fir_resample_pallas(
     zi=None,
     return_zf: bool = False,
     mode: str = "high",
-    interpret: bool = False,
+    interpret=None,
     gb: int = 0,
     rs_batch: int = 1,
 ):
@@ -302,6 +310,8 @@ def fused_fir_resample_pallas(
     ``fused_supports(...)`` shapes; ``T`` a multiple of
     :func:`fused_program_in` for exact streaming.
     """
+    if interpret is None:  # Mosaic on TPU, interpreter elsewhere (tests)
+        interpret = jax.default_backend() not in ("tpu", "axon")
     g = math.gcd(up, down)
     up, down = up // g, down // g
     fir_np = np.asarray(jax.device_get(fir_taps), np.float64)

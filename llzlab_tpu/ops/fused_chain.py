@@ -43,7 +43,8 @@ from llzlab_tpu.ops.resample import (
 )
 from llzlab_tpu.ops.transform import matmul_precision as _matmul_precision
 
-__all__ = ["fir_resample", "fir_resample_state_len", "fir_resample_tables"]
+__all__ = ["fir_resample", "fir_resample_state_len", "fir_resample_tables",
+           "fir_resample_engine"]
 
 
 @functools.lru_cache(maxsize=16)
@@ -84,13 +85,45 @@ def fir_resample_tables(fir_taps, up: int, down: int, rtaps):
 
 
 def fir_resample_state_len(fir_taps_len: int, up: int, down: int,
-                           rtaps_len: int) -> int:
-    """Streaming history length (input samples) for :func:`fir_resample`."""
+                           rtaps_len: int, *, engine: str = "composite"
+                           ) -> int:
+    """Streaming history length (input samples) for :func:`fir_resample`.
+
+    ``engine`` must match the engine the calls will run ("composite" —
+    the XLA shifted-matmul path — or "pallas", the fused VMEM-resident
+    kernel; their histories differ).  Use :func:`fir_resample_engine` to
+    resolve "auto" first.
+    """
+    if engine == "pallas":
+        from llzlab_tpu.kernels.fused_fir_resample import fused_state_len
+
+        return fused_state_len(fir_taps_len)
     g = math.gcd(up, down)
     up, down = up // g, down // g
     k = -(-rtaps_len // up)
     offset = (k - 1) + (fir_taps_len - 1)
     return -(-offset // down) * down
+
+
+def fir_resample_engine(channels: int, fir_taps_len: int, up: int,
+                        down: int, rtaps_len: int, t: int) -> str:
+    """Resolve the "auto" engine choice for :func:`fir_resample`.
+
+    Returns "pallas" on TPU when the fused Pallas kernel's shape envelope
+    accepts the call (the measured winner: 6247 vs 1947 Msps for the XLA
+    composite at 64ch × 245760 on v5e, BENCH_r02), else "composite".
+    """
+    g = math.gcd(up, down)
+    up_r, down_r = up // g, down // g
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if not on_tpu:
+        return "composite"
+    from llzlab_tpu.kernels.fused_fir_resample import fused_supports
+
+    k = -(-rtaps_len // up_r)
+    if fused_supports(channels, fir_taps_len, up_r, down_r, k, t):
+        return "pallas"
+    return "composite"
 
 
 @functools.partial(jax.jit, static_argnames=("up", "down", "hist_len",
@@ -143,6 +176,8 @@ def fir_resample(
     taps_per_phase: int = 64,
     zi: Optional[jnp.ndarray] = None,
     return_zf: bool = False,
+    engine: str = "auto",
+    precision: Optional[str] = None,
 ):
     """FIR filter + rational resample in one fused MXU pass.
 
@@ -155,15 +190,51 @@ def fir_resample(
       fir_taps: ``(ntaps,)`` host-concrete FIR taps.
       up, down: rational rate factors (reduced by gcd internally).
       rtaps: optional resampler prototype (designed if omitted).
-      zi: optional ``(..., fir_resample_state_len(...))`` input history.
+      zi: optional ``(..., fir_resample_state_len(..., engine=E))`` input
+        history, where ``E`` is the resolved engine.
       return_zf: also return the final history for streaming continuation.
+      engine: "auto" | "pallas" | "composite".  "auto" resolves via
+        :func:`fir_resample_engine` — the fused VMEM-resident Pallas
+        kernel on TPU when its shape envelope accepts the call (the
+        measured winner, BENCH_r02), else the XLA composite matmul.
+        NOTE: the two engines carry different history lengths; streaming
+        callers should resolve the engine once and pass it explicitly.
+      precision: "high" (bf16x3) | "highest" (full f32); default from
+        ``LLZ_MATMUL_PRECISION`` (pallas engine only; the composite
+        follows the global matmul-precision env).
 
-    Streaming is exact when each fed block has ``T % down == 0``.
+    Streaming is exact when each fed block has ``T % down == 0``
+    (composite) or ``T`` a multiple of
+    :func:`llzlab_tpu.kernels.fused_fir_resample.fused_program_in`
+    (pallas).
     """
     g = math.gcd(up, down)
     up_r, down_r = up // g, down // g
     if rtaps is None:
         rtaps = resample_taps(up_r, down_r, taps_per_phase)
+    if engine == "auto":
+        channels = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+        engine = fir_resample_engine(
+            channels, len(np.asarray(fir_taps)), up_r, down_r,
+            len(np.asarray(rtaps)), x.shape[-1])
+    if engine == "pallas":
+        from llzlab_tpu.kernels.fused_fir_resample import (
+            fused_fir_resample_pallas,
+        )
+
+        if precision is None:
+            import os
+
+            precision = {"highest": "highest", "high": "high",
+                         "default": "high"}[
+                os.environ.get("LLZ_MATMUL_PRECISION", "highest").lower()
+            ]
+        return fused_fir_resample_pallas(
+            x, fir_taps, up_r, down_r, rtaps, zi=zi, return_zf=return_zf,
+            mode=precision,
+        )
+    if engine != "composite":
+        raise ValueError(f"unknown engine {engine!r}")
     gparts, hist_len = fir_resample_tables(fir_taps, up_r, down_r, rtaps)
     return _fir_resample_impl(
         x, gparts, zi, up=up_r, down=down_r, hist_len=hist_len,

@@ -62,6 +62,60 @@ class TestBlock2Kernel:
         )
         np.testing.assert_array_equal(np.concatenate([y1, y2], 1), full)
 
+    def test_low_channel_fold_bit_exact(self):
+        """The fold-into-M fast path (1–7 channels) must reproduce the
+        unfolded engine bit-for-bit, streaming state included
+        (VERDICT r2 missing #5 — config-1 fast path)."""
+        from llzlab_tpu.ops.fir import (
+            _fir_filter_block2_pallas_folded, fir_filter,
+        )
+
+        rng = np.random.default_rng(10)
+        taps = lz.firwin(1024, 0.25)
+        block = block2_block(1024)
+        for c, t in [(1, 8 * block), (2, 5 * block), (3, 4 * block + 17)]:
+            x = rng.standard_normal((c, t)).astype(np.float32)
+            # unfolded reference through the same kernel (rows padded to 8)
+            xp = np.concatenate(
+                [np.zeros((c, block), np.float32), x,
+                 np.zeros((c, (-t) % block), np.float32)], axis=1)
+            xp8 = np.concatenate(
+                [xp, np.zeros((8 - c, xp.shape[1]), np.float32)])
+            ref = np.asarray(
+                bf.block2_fir_pallas(jnp.asarray(xp8), taps, block,
+                                     mode="high", interpret=True)
+            )[:c, :t]
+            y, zf = _fir_filter_block2_pallas_folded(
+                jnp.asarray(x), np.asarray(taps, np.float64), None,
+                block=block, mode="high", return_zf=True, interpret=True,
+            )
+            np.testing.assert_array_equal(np.asarray(y), ref)
+            exp_zf = np.concatenate(
+                [np.zeros((c, block), np.float32), x], axis=1)[:, -block:]
+            np.testing.assert_array_equal(np.asarray(zf), exp_zf)
+
+    def test_low_channel_fold_streaming(self):
+        """Fold path split-and-carry == one-shot, bit-for-bit."""
+        from llzlab_tpu.ops.fir import _fir_filter_block2_pallas_folded
+
+        rng = np.random.default_rng(11)
+        taps = lz.firwin(1024, 0.25)
+        block = block2_block(1024)
+        t = 4 * block
+        x = rng.standard_normal((1, 2 * t)).astype(np.float32)
+        full = np.asarray(_fir_filter_block2_pallas_folded(
+            jnp.asarray(x), np.asarray(taps, np.float64), None,
+            block=block, mode="high", return_zf=False, interpret=True))
+        y1, zf = _fir_filter_block2_pallas_folded(
+            jnp.asarray(x[:, :t]), np.asarray(taps, np.float64), None,
+            block=block, mode="high", return_zf=True, interpret=True)
+        y2 = _fir_filter_block2_pallas_folded(
+            jnp.asarray(x[:, t:]), np.asarray(taps, np.float64),
+            jnp.asarray(zf), block=block, mode="high", return_zf=False,
+            interpret=True)
+        np.testing.assert_array_equal(
+            np.concatenate([np.asarray(y1), np.asarray(y2)], 1), full)
+
     def test_tail_handling(self, snr):
         """Non-multiple-of-block signal lengths are padded and truncated."""
         rng = np.random.default_rng(9)

@@ -116,6 +116,48 @@ class TestChannelizerSharded:
         assert np.isfinite(e) and e > 0
 
 
+class TestChannelizerFusedSharded:
+    """fir_method='fused' under shard_map: ONE 2·block halo replaces the
+    FIR+resampler pair; sharded == unsharded streaming (VERDICT r2 #2)."""
+
+    def _chan_fused(self):
+        return Channelizer(
+            fir_taps=lz.firwin(256, 0.4),
+            up=3,
+            down=4,
+            fft_n=128,
+            taps_per_phase=8,
+            fir_method="fused",
+        )
+
+    @pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4)])
+    def test_matches_unsharded_streaming(self, mesh_shape, snr):
+        chan = self._chan_fused()
+        nc, nt = mesh_shape
+        mesh = make_dsp_mesh(nc, nt)
+        m = chan.block_multiple()
+        c, t = 8, m * nt  # local C = 8/nc: kernel path at nc=1, fallback at nc=2
+        rng = np.random.default_rng(81)
+        x = rng.standard_normal((c, t)).astype(np.float32)
+        (spec_sh,), st_sh = _run_sharded(chan, mesh, x)
+        (spec_ref,), st_ref = _run_streaming(chan, x, m)
+        assert spec_sh.shape == spec_ref.shape
+        assert snr(spec_ref, spec_sh) >= 110.0
+        np.testing.assert_allclose(
+            np.asarray(st_sh[0]), np.asarray(st_ref[0]), rtol=0, atol=0)
+
+    def test_superblock_carry(self, snr):
+        chan = self._chan_fused()
+        mesh = make_dsp_mesh(1, 8)
+        m = chan.block_multiple()
+        c, t = 8, m * 8
+        rng = np.random.default_rng(82)
+        x = rng.standard_normal((c, t)).astype(np.float32)
+        outs_sh, _ = _run_sharded(chan, mesh, x, n_steps=2)
+        outs_ref, _ = _run_streaming(chan, x, m, n_steps=2)
+        assert snr(outs_ref[1], outs_sh[1]) >= 110.0
+
+
 class TestChannelizerRdmaHalo:
     """halo='rdma' (Pallas make_async_remote_copy, 1-D time mesh) must
     reproduce the ppermute path exactly (VERDICT r1 item 7)."""
