@@ -47,6 +47,10 @@ def main():
     p.add_argument("--channels", type=int, default=64)
     p.add_argument("--block", type=int, default=245760)
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--write-calib", action="store_true",
+                   help="write the iir-suite measurements to "
+                        "llzlab_tpu/calib/<device_kind>.json (the "
+                        "ops/iir_select.py selection artifact)")
     args = p.parse_args()
 
     import jax
@@ -166,6 +170,7 @@ def main():
 
     # ---- iir: the sosfilt engine matrix (ops/iir_select.py source) ------
     if want("iir"):
+        iir_rows = []
         sos8 = lz.peaking_eq_sos(
             [100, 300, 700, 1500, 3000, 6000, 10000, 15000],
             [3, -4, 2, 5, -3, 4, -2, 3], 48000, q=1.0)
@@ -182,9 +187,10 @@ def main():
             return y
 
         y = np.asarray(scan_f(x3)[:2])
-        report(op="iir", engine="scan", precision="f32",
-               msps=round(timeit(scan_f, x3), 1),
-               snr=round(snr_db(ref, y), 1))
+        iir_rows.append(dict(engine="scan", precision="f32",
+                             msps=round(timeit(scan_f, x3), 1),
+                             snr=round(snr_db(ref, y), 1)))
+        report(op="iir", **iir_rows[-1])
 
         for prec in ("highest", "high"):
             @jax.jit
@@ -194,9 +200,25 @@ def main():
                 return y
 
             y = np.asarray(mm_f(x3)[:2])
-            report(op="iir", engine="matmul", precision=prec,
-                   msps=round(timeit(mm_f, x3), 1),
-                   snr=round(snr_db(ref, y), 1))
+            iir_rows.append(dict(engine="matmul", precision=prec,
+                                 msps=round(timeit(mm_f, x3), 1),
+                                 snr=round(snr_db(ref, y), 1)))
+            report(op="iir", **iir_rows[-1])
+
+        if args.write_calib:
+            from llzlab_tpu.ops.iir_select import calib_path
+
+            kind = jax.devices()[0].device_kind
+            path = calib_path(kind)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "w") as f:
+                json.dump({
+                    "device_kind": kind,
+                    "workload": "8-section peaking-EQ cascade, "
+                                f"{C}ch x {t3}",
+                    "measured": iir_rows,
+                }, f, indent=1)
+            log(f"calibration artifact written: {path}")
 
     def timeit_n(fn, samples, iters, *fargs):
         """Like timeit but with explicit sample count / scan length."""
@@ -281,6 +303,87 @@ def main():
 
         report(op="fusedsweep", stage="fir_only_pallas",
                msps=round(timeit(fir_only, xpad0), 1))
+
+    # ---- fusedopt: overhead-subtracted kernel optimization probes --------
+    # The fixed per-dispatch + D2H-fetch latency of the dev-box tunnel is
+    # measured with an empty step and subtracted, so these numbers rank
+    # kernel variants by COMPUTE time (the raw timeit numbers at low
+    # iters are latency-polluted — r3 probe 1 showed ~1.4 ms/iter).
+    if want("fusedopt"):
+        from llzlab_tpu.kernels import fused_fir_resample as ff
+        from llzlab_tpu.kernels import block2_fir as bf
+
+        interp = jax.default_backend() not in ("tpu", "axon")
+
+        def wall(fn, iters, *fargs):
+            @jax.jit
+            def go(*a):
+                def body(c, _):
+                    return c, fn(*a)[0, -1]
+                _, probes = lax.scan(body, 0, None, length=iters)
+                return probes
+
+            r = go(*fargs); r.block_until_ready()
+            t1 = time.perf_counter()
+            r = go(*fargs); r.block_until_ready()
+            return time.perf_counter() - t1
+
+        n = max(ITERS, 30)
+
+        @jax.jit
+        def empty(v):
+            return v * 1.0000001  # one real op so XLA can't fold it away
+
+        base = wall(lambda v: empty(v), n, x[:, :256])
+        log(f"fixed overhead: {base*1e3/n:.3f} ms/iter (n={n})")
+
+        def net_msps(fn, samples, *fargs):
+            dt = wall(fn, n, *fargs) - base
+            return samples * n / max(dt, 1e-9) / 1e6
+
+        # FIR-only kernel: the three bf16x3 strategies
+        xpad0 = jnp.concatenate(
+            [jnp.zeros((C, 1024), jnp.float32), x], axis=1)
+        for mode in ("high", "highcat", "highest"):
+            @jax.jit
+            def fo(xp, _m=mode):
+                return bf.block2_fir_pallas(xp, taps, 1024, mode=_m,
+                                            interpret=interp)
+
+            report(op="fusedopt", stage="fir_only", mode=mode,
+                   msps=round(net_msps(fo, C * T, xpad0), 1))
+
+        # fused chain tile params at the sweep-1 winners
+        st0 = jnp.zeros((C, ff.fused_state_len(1024)), jnp.float32)
+        for gb, rsb in ((2, 8), (4, 8), (8, 8), (2, 16)):
+            @jax.jit
+            def cf(v, st=st0, _g=gb, _r=rsb):
+                z, _ = ff.fused_fir_resample_pallas(
+                    v, taps, 147, 160, rtaps, zi=st, return_zf=True,
+                    mode="high", interpret=interp, gb=_g, rs_batch=_r)
+                return z
+
+            report(op="fusedopt", stage="chain", gb=gb, rs_batch=rsb,
+                   msps=round(net_msps(cf, C * T, x), 1))
+
+        # XLA block2+resample chain, same harness, for a fair delta
+        hlen = fir_mod.fir_state_len(1024, method="block2")
+        f0 = jnp.zeros((C, hlen), jnp.float32)
+        r0 = jnp.zeros((C, 63), jnp.float32)
+        os.environ["LLZ_MATMUL_PRECISION"] = "high"
+        jax.clear_caches()
+
+        @jax.jit
+        def cx(v, f=f0, r=r0):
+            y, _ = lz.fir_filter(v, taps, method="block2", zi=f,
+                                 return_zf=True)
+            z, _ = lz.resample_poly(y, 147, 160, taps=rtaps, zi=r,
+                                    return_zf=True)
+            return z
+
+        report(op="fusedopt", stage="chain_xla", precision="high",
+               msps=round(net_msps(cx, C * T, x), 1))
+        os.environ["LLZ_MATMUL_PRECISION"] = "highest"
 
     # ---- fft: standalone FFT kernel rows (VERDICT r2 missing #1) ---------
     if want("fft"):

@@ -109,10 +109,16 @@ class Channelizer:
 
     # ---------------- granularity ----------------
 
-    def block_multiple(self) -> int:
+    def block_multiple(self, frames: str = "local") -> int:
         """Smallest per-shard T granularity satisfying every stage:
         multiple of the OLS hop and of `down`, with the resampled length a
-        multiple of fft_n."""
+        multiple of fft_n.
+
+        ``frames="a2a"`` drops the fft_n alignment term: the all-to-all
+        framing mode (see :meth:`sharded_step`) reshards to channel-major
+        before the FFT, so frames may straddle time-shard boundaries and
+        only the FIR/resample granularity remains.
+        """
         if self.fir_method == "ols":
             hop = _fir.ols_hop(len(self.fir_taps), self.nfft)
         elif self.fir_method == "block2":
@@ -125,6 +131,8 @@ class Channelizer:
         else:
             hop = 1
         m = _lcm(hop, self.down)
+        if frames == "a2a":
+            return m
         # need (m·k)·up/down % fft_n == 0 → k multiple of fft_n/gcd
         per = m * self.up // self.down  # resampled samples per m inputs
         k = self.fft_n // math.gcd(per, self.fft_n)
@@ -209,17 +217,40 @@ class Channelizer:
 
     # ---------------- sharded step ----------------
 
-    def sharded_step(self, mesh, *, halo: str = "ppermute"):
+    def sharded_step(self, mesh, *, halo: str = "ppermute",
+                     frames: str = "local", halo_overlap: bool = False):
         """Build the jitted mesh-sharded step: ``(x, state) → (spec, state)``.
 
         ``x (C, T)`` sharded P(channel, time); state replicated over time.
         Requires ``C % n_channel == 0`` and ``T/n_time`` a multiple of
-        :meth:`block_multiple`.
+        :meth:`block_multiple(frames)`.
 
         ``halo``: "ppermute" (XLA collective, any mesh) or "rdma" (Pallas
         ``make_async_remote_copy``, kernels/halo_ring.py) — the RDMA form
         needs a 1-D time-only mesh (jax 0.9 ``dma_start`` limitation, see
         that module's docstring) and falls back to interpret mode off-TPU.
+
+        ``halo_overlap``: overlap the halo exchange with the bulk FIR
+        compute (SURVEY §7 hard part 4).  The stages are linear, so the
+        step is split as ``f(halo, x) = f(0, x) + f(halo, 0)`` — the
+        collective's result then feeds only a SMALL correction term (one
+        block/program of work) while the bulk ``f(0, x)`` has no data
+        dependence on it, and XLA's latency-hiding scheduler runs the
+        ppermute/RDMA concurrently with the main kernel.  Trade-off: the
+        split reassociates f32 additions, so sharded==unsharded holds at
+        ~140 dB instead of bit-exactly (hence opt-in).  Supported for
+        fir_method "fused" and "block2".
+
+        ``frames``: "local" keeps the FFT framing inside each time shard
+        (zero extra communication; needs the resampled per-shard length
+        to be a multiple of fft_n).  "a2a" is the Ulysses analog (SURVEY
+        §2d): after FIR+resample, ONE all-to-all reshards the signal to
+        channel-major — every device then holds full time for a channel
+        subset — so spectral frames may straddle time-shard boundaries
+        and any FIR/resample-aligned granularity works.  Output sharding:
+        P(channel, time, None) for "local", P((channel, time), None,
+        None) for "a2a" (requires ``C`` divisible by the total device
+        count).
         """
         axes = tuple(mesh.axis_names)
         c_ax = CHANNEL_AXIS if CHANNEL_AXIS in axes else None
@@ -245,6 +276,66 @@ class Channelizer:
         else:
             raise ValueError(f"unknown halo mode {halo!r}")
 
+        if frames not in ("local", "a2a"):
+            raise ValueError(f"unknown frames mode {frames!r}")
+        emit_frames = frames == "local"
+        if halo_overlap and self.fir_method not in ("fused", "block2"):
+            raise ValueError(
+                "halo_overlap needs fir_method 'fused' or 'block2' "
+                f"(got {self.fir_method!r})"
+            )
+
+        def local_overlapped(x_l, fir_st, rs_st):
+            """f(halo, x) = f(0, x) + f(halo, 0): the collective feeds
+            only the correction term, freeing XLA to overlap it with the
+            bulk compute."""
+            ntaps = len(self.fir_taps)
+            block = _fir.block2_block(ntaps)
+            if self.fir_method == "fused":
+                from llzlab_tpu.kernels import fused_fir_resample as _ff
+
+                halo = halo_fn(x_l, self.h_fir, fir_st, 13)
+                p = _ff.fused_program_in(ntaps, self.up, self.down)
+                z0, _ = self._fused_step(
+                    x_l, jnp.zeros_like(halo))           # bulk, no halo dep
+                zc, _ = self._fused_step(
+                    jnp.zeros(x_l.shape[:-1] + (p,), x_l.dtype), halo)
+                p_out = p * self.up // self.down
+                z = z0.at[..., :p_out].add(zc[..., :p_out])
+                tail = broadcast_from_last(x_l[..., -self.h_fir:])
+                out = self._frames(z) if emit_frames else z
+                return out, tail, rs_st
+            # block2: y_0 = x_0 @ A + halo @ B — only the B term waits.
+            halo_f = halo_fn(x_l, self.h_fir, fir_st, 13)
+            _a, bm = _fir._block2_cached(self.fir_taps.tobytes(), block)
+            y0, _ = _fir.fir_filter(
+                x_l, self.fir_taps, method="block2", zi=None,
+                return_zf=True,
+            )
+            corr = jnp.einsum(
+                "...m,mi->...i", halo_f, bm,
+                preferred_element_type=jnp.float32,
+            ).astype(y0.dtype)
+            y = y0.at[..., :block].add(corr)
+            fir_tail = broadcast_from_last(x_l[..., -self.h_fir:])
+            # resampler halo: same split — zi feeds only the first
+            # ceil((k−1)/down) output groups.
+            halo_r = halo_fn(y, self.h_rs, rs_st, 14)
+            z0, _ = _rs.resample_poly(
+                y, self.up, self.down, taps=self.resample_taps, zi=None,
+                return_zf=True,
+            )
+            t0 = self.down * (-(-(self.k - 1) // self.down))
+            zc = _rs.resample_poly(
+                jnp.zeros(y.shape[:-1] + (t0,), y.dtype), self.up,
+                self.down, taps=self.resample_taps, zi=halo_r,
+            )
+            n0 = zc.shape[-1]
+            z = z0.at[..., :n0].add(zc)
+            rs_tail = broadcast_from_last(y[..., -self.h_rs:])
+            out = self._frames(z) if emit_frames else z
+            return out, fir_tail, rs_tail
+
         def local(x_l, fir_st, rs_st):
             if self.fir_method == "fused":
                 # ONE halo: the 2·block input history carries both the
@@ -253,7 +344,8 @@ class Channelizer:
                 halo = halo_fn(x_l, self.h_fir, fir_st, 13)
                 z, _ = self._fused_step(x_l, halo)
                 tail = broadcast_from_last(x_l[..., -self.h_fir:])
-                return self._frames(z), tail, rs_st
+                out = self._frames(z) if emit_frames else z
+                return out, tail, rs_st
             halo_f = halo_fn(x_l, self.h_fir, fir_st, 13)
             y, _ = _fir.fir_filter(
                 x_l, self.fir_taps, method=self.fir_method, nfft=self.nfft,
@@ -266,10 +358,13 @@ class Channelizer:
                 return_zf=True,
             )
             rs_tail = broadcast_from_last(y[..., -self.h_rs:])
-            return self._frames(z), fir_tail, rs_tail
+            out = self._frames(z) if emit_frames else z
+            return out, fir_tail, rs_tail
 
+        out0_spec = (P(c_ax, TIME_AXIS, None) if emit_frames
+                     else P(c_ax, TIME_AXIS))
         fn = jax.shard_map(
-            local,
+            local_overlapped if halo_overlap else local,
             mesh=mesh,
             in_specs=(
                 P(c_ax, TIME_AXIS),
@@ -277,30 +372,55 @@ class Channelizer:
                 P(c_ax, None),
             ),
             out_specs=(
-                P(c_ax, TIME_AXIS, None),
+                out0_spec,
                 P(c_ax, None),
                 P(c_ax, None),
             ),
             check_vma=False,
         )
 
+        if emit_frames:
+            @jax.jit
+            def step(x, state):
+                spec, ft, rt = fn(x, state[0], state[1])
+                return spec, (ft, rt)
+
+            return step
+
+        from jax.sharding import NamedSharding
+
+        flat = ((CHANNEL_AXIS, TIME_AXIS) if c_ax is not None
+                else (TIME_AXIS,))
+        cmajor = NamedSharding(mesh, P(flat, None))
+
         @jax.jit
-        def step(x, state):
-            spec, ft, rt = fn(x, state[0], state[1])
-            return spec, (ft, rt)
+        def step_a2a(x, state):
+            z, ft, rt = fn(x, state[0], state[1])
+            # The Ulysses-analog reshard: XLA emits ONE all-to-all moving
+            # the time-sharded resampled signal to channel-major; frames
+            # then span the full stream on every device.
+            zc = jax.lax.with_sharding_constraint(z, cmajor)
+            return self._frames(zc), (ft, rt)
 
-        return step
+        return step_a2a
 
-    def validate_sharded_shapes(self, mesh, c: int, t: int):
+    def validate_sharded_shapes(self, mesh, c: int, t: int,
+                                frames: str = "local"):
         nc = dict(mesh.shape).get(CHANNEL_AXIS, 1)
         nt = mesh.shape[TIME_AXIS]
         if c % nc:
             raise ValueError(f"C={c} not divisible by n_channel={nc}")
         if t % nt:
             raise ValueError(f"T={t} not divisible by n_time={nt}")
-        m = self.block_multiple()
+        m = self.block_multiple(frames)
         if (t // nt) % m:
             raise ValueError(
                 f"T_loc={t // nt} must be a multiple of {m} "
-                f"(OLS hop × down × fft alignment)"
+                f"(OLS hop × down{' × fft' if frames == 'local' else ''}"
+                " alignment)"
+            )
+        if frames == "a2a" and c % math.prod(
+                [mesh.shape[a] for a in mesh.axis_names]):
+            raise ValueError(
+                f"frames='a2a' needs C={c} divisible by the device count"
             )

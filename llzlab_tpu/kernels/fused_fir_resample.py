@@ -223,6 +223,22 @@ def _kernel(block, kb, nt, nyb, up, down, k2, G, off, mode, gb, rs_batch,
                 )
 
 
+def _channel_tile(b: int, cap: int = 128) -> int:
+    """Largest divisor of ``b`` that is ≤ cap and a multiple of 8 —
+    the per-program channel tile (``b % 8 == 0`` by ``fused_supports``)."""
+    if b <= cap:
+        return b
+    best = 8
+    d = 1
+    while d * d <= b:
+        if b % d == 0:
+            for q in (d, b // d):
+                if q <= cap and q % 8 == 0:
+                    best = max(best, q)
+        d += 1
+    return best
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("ntaps", "up", "down", "k", "mode", "interpret", "gb",
@@ -230,7 +246,7 @@ def _kernel(block, kb, nt, nyb, up, down, k2, G, off, mode, gb, rs_batch,
 )
 def _fused_pallas_jit(xh, tables, *, ntaps: int, up: int, down: int,
                       k: int, mode: str, interpret: bool, gb: int = 0,
-                      rs_batch: int = 1):
+                      rs_batch: int = 8):
     block = block2_block(ntaps)
     b, tp = xh.shape
     t = tp - 2 * block
@@ -238,6 +254,10 @@ def _fused_pallas_jit(xh, tables, *, ntaps: int, up: int, down: int,
     if t % p_in:
         raise ValueError(f"T={t} must be a multiple of P={p_in}")
     nprog = t // p_in
+    # Channel grid: tile channels so the per-program VMEM working set
+    # stays bounded at any batch (1024-channel spec shape included);
+    # time is the INNER grid dim so the weight tables stay resident.
+    cb = _channel_tile(b)
     G = p_in // down
     nyb = p_in // block + 1         # y blocks per program (1 halo block)
     k2 = down + k - 1
@@ -245,37 +265,45 @@ def _fused_pallas_jit(xh, tables, *, ntaps: int, up: int, down: int,
     kb = band_k(ntaps, block)
     nt = block // 128
     if gb <= 0:
-        gb = max(1, 128 // max(b, 1))
+        gb = max(1, 128 // max(cb, 1))
     # y_ext must cover the last group's padded k2p-lane window.
     k2p = -(-k2 // 128) * 128
     ys_len = off + (G - 1) * down + k2p
     ys_len = -(-ys_len // 128) * 128
 
-    wspecs = [
-        pl.BlockSpec(w.shape, (lambda i, _n=w.ndim: (0,) * _n),
-                     memory_space=pltpu.VMEM)
-        for w in tables
-    ]
     x2_idx = p_in // (2 * block)
-    scratch = [pltpu.VMEM((b, ys_len), jnp.float32)]
+    if b == cb:  # single channel tile: keep the 1-D grid (no size-1 dim)
+        grid = (nprog,)
+        xmap = lambda i: (0, i)
+        x2map = lambda i, _x=x2_idx: (0, i * _x + _x)
+        omap = lambda i: (0, i)
+        wmaps = [(lambda i, _n=w.ndim: (0,) * _n) for w in tables]
+    else:
+        grid = (b // cb, nprog)
+        xmap = lambda c, i: (c, i)
+        x2map = lambda c, i, _x=x2_idx: (c, i * _x + _x)
+        omap = lambda c, i: (c, i)
+        wmaps = [(lambda c, i, _n=w.ndim: (0,) * _n) for w in tables]
+    wspecs = [
+        pl.BlockSpec(w.shape, m, memory_space=pltpu.VMEM)
+        for w, m in zip(tables, wmaps)
+    ]
+    scratch = [pltpu.VMEM((cb, ys_len), jnp.float32)]
     if rs_batch > 1:
-        scratch.append(pltpu.VMEM((rs_batch * b, k2p), jnp.float32))
+        scratch.append(pltpu.VMEM((rs_batch * cb, k2p), jnp.float32))
     z = pl.pallas_call(
         functools.partial(_kernel, block, kb, nt, nyb, up, down, k2, G,
                           off, mode, gb, rs_batch),
-        grid=(nprog,),
+        grid=grid,
         in_specs=[
-            # program i: input window = xh blocks [i·P, i·P + P) …
-            pl.BlockSpec((b, p_in), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
+            # program (c, i): input window = xh blocks [i·P, i·P + P) …
+            pl.BlockSpec((cb, p_in), xmap, memory_space=pltpu.VMEM),
             # … plus 2·block of lookahead (the same array passed twice;
-            # index in units of the (b, 2·block) block shape).
-            pl.BlockSpec((b, 2 * block),
-                         lambda i, _x=x2_idx: (0, i * _x + _x),
-                         memory_space=pltpu.VMEM),
+            # index in units of the (cb, 2·block) block shape).
+            pl.BlockSpec((cb, 2 * block), x2map, memory_space=pltpu.VMEM),
             *wspecs,
         ],
-        out_specs=pl.BlockSpec((b, G * up), lambda i: (0, i),
+        out_specs=pl.BlockSpec((cb, G * up), omap,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, nprog * G * up), jnp.float32),
         scratch_shapes=scratch,
@@ -299,7 +327,7 @@ def fused_fir_resample_pallas(
     mode: str = "high",
     interpret=None,
     gb: int = 0,
-    rs_batch: int = 1,
+    rs_batch: int = 8,
 ):
     """Fused FIR→resample on ``(..., T)`` → ``(..., T·up/down)``.
 

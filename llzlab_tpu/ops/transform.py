@@ -22,6 +22,13 @@ computed in float64 on host and rounded once (SURVEY.md §7 hard part 2).
 ``method="xla"`` falls back to ``jnp.fft`` (always available; the default
 on CPU test meshes).  ``method="auto"`` picks matmul on TPU for supported
 sizes.
+
+Measured (v5e via tunnel, r3 probe, batched 2048-pt rfft over 64×117
+frames): matmul 5445 Msps @ 139.9 dB vs XLA's TPU FFT 5953 Msps @
+131.2 dB — comparable speed on current jax (the XLA path has improved
+since the r1 measurement that motivated this kernel), with the matmul
+path keeping a ~9 dB SNR edge from the f64-derived tables.  "auto"
+therefore stays on matmul for precision, not speed.
 """
 
 from __future__ import annotations

@@ -5,7 +5,12 @@ import pytest
 import scipy.signal as ss
 
 import llzlab_tpu as lz
-from llzlab_tpu.ops.iir_select import ENGINE_MATRIX, sosfilt_auto
+from llzlab_tpu.ops.iir_select import (
+    SNR_MARGIN_DB,
+    calib_path,
+    load_engine_matrix,
+    sosfilt_auto,
+)
 
 
 def _snr(ref, y):
@@ -65,7 +70,46 @@ class TestSosfiltAuto:
         assert _snr(ref, np.asarray(y1)[0]) > 110.0
         assert _snr(ref, np.asarray(y2)[0]) > 110.0
 
-    def test_matrix_sane(self):
-        # Guardrail floors must stay under the engines' measured SNRs.
-        for (_eng, _prec), (msps, floor) in ENGINE_MATRIX.items():
+    def test_fallback_matrix_sane(self):
+        # Unknown device kind → conservative fallback floors.
+        load_engine_matrix.cache_clear()
+        m = load_engine_matrix("made-up-chip-9000")
+        for (_eng, _prec), (msps, floor) in m.items():
             assert msps > 0 and 0 < floor < 140
+
+
+class TestCalibrationArtifact:
+    """Selection obeys the per-device-kind measurement artifact
+    (VERDICT r2 item 8: no hard-coded v5e constants)."""
+
+    def test_artifact_overrides_fallback(self, tmp_path, monkeypatch):
+        import json
+
+        monkeypatch.setenv("LLZ_CALIB_DIR", str(tmp_path))
+        load_engine_matrix.cache_clear()
+        art = {
+            "device_kind": "TPU v99",
+            "measured": [
+                {"engine": "matmul", "precision": "high",
+                 "msps": 9000.0, "snr": 91.0},
+                {"engine": "scan", "precision": "f32",
+                 "msps": 250.0, "snr": 136.0},
+            ],
+        }
+        p = calib_path("TPU v99")
+        assert p.startswith(str(tmp_path))
+        with open(p, "w") as f:
+            json.dump(art, f)
+        m = load_engine_matrix("TPU v99")
+        assert m[("matmul", "high")] == (9000.0, 91.0 - SNR_MARGIN_DB)
+        assert m[("scan", "f32")] == (250.0, 136.0 - SNR_MARGIN_DB)
+        # floors derive from the artifact, not from any constant table
+        assert ("matmul", "highest") not in m
+        load_engine_matrix.cache_clear()
+
+    def test_missing_artifact_falls_back(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("LLZ_CALIB_DIR", str(tmp_path))
+        load_engine_matrix.cache_clear()
+        m = load_engine_matrix("TPU v100")
+        assert ("scan", "f32") in m  # fallback matrix
+        load_engine_matrix.cache_clear()

@@ -158,6 +158,90 @@ class TestChannelizerFusedSharded:
         assert snr(outs_ref[1], outs_sh[1]) >= 110.0
 
 
+class TestChannelizerHaloOverlap:
+    """halo_overlap=True — the halo collective feeds only a correction
+    term so XLA can overlap it with the bulk FIR compute (SURVEY §7 hard
+    part 4).  The f(0,x)+f(halo,0) split reassociates f32 adds, so parity
+    is ~140 dB, not bit-exact."""
+
+    def _run(self, chan, mesh, x, **kw):
+        c = x.shape[0]
+        step = chan.sharded_step(mesh, **kw)
+        x_spec = NamedSharding(mesh, P(CHANNEL_AXIS, TIME_AXIS))
+        st_spec = NamedSharding(mesh, P(CHANNEL_AXIS, None))
+        xd = jax.device_put(jnp.asarray(x), x_spec)
+        st = tuple(jax.device_put(s, st_spec) for s in chan.init_state(c))
+        s1, st = step(xd, st)
+        s2, _ = step(xd, st)  # carried state exercises a nonzero halo
+        return np.asarray(s1), np.asarray(s2)
+
+    @pytest.mark.parametrize("method", ["block2", "fused"])
+    def test_overlap_matches_exact(self, method, snr):
+        chan = Channelizer(
+            fir_taps=lz.firwin(256, 0.4),
+            up=3,
+            down=4,
+            fft_n=128,
+            taps_per_phase=8,
+            fir_method=method,
+        )
+        mesh = make_dsp_mesh(1, 8)
+        m = chan.block_multiple()
+        rng = np.random.default_rng(84)
+        x = rng.standard_normal((8, m * 8)).astype(np.float32)
+        a1, a2 = self._run(chan, mesh, x, halo_overlap=True)
+        b1, b2 = self._run(chan, mesh, x, halo_overlap=False)
+        assert snr(b1, a1) >= 135.0
+        assert snr(b2, a2) >= 135.0
+
+    def test_rejects_ols(self):
+        chan = _chan()  # fir_method="direct"
+        with pytest.raises(ValueError, match="halo_overlap"):
+            chan.sharded_step(make_dsp_mesh(1, 8), halo_overlap=True)
+
+
+class TestChannelizerA2AFrames:
+    """frames='a2a' — the Ulysses analog in actual use (VERDICT r2 weak
+    #4): spectral frames straddle time-shard boundaries, so the chain
+    reshards to channel-major with ONE all-to-all before the FFT."""
+
+    def test_straddling_frames_match_unsharded(self, chan, snr):
+        mesh = make_dsp_mesh(2, 4)
+        m_a2a = chan.block_multiple("a2a")
+        m_loc = chan.block_multiple("local")
+        # pick a per-shard length that is FIR/resample-aligned but NOT
+        # fft-aligned — the local mode must reject it, a2a must run.
+        t_loc = -(-max(chan.h_fir, chan.h_rs, 1) // m_a2a) * m_a2a
+        while ((t_loc * chan.up // chan.down) % chan.fft_n == 0
+               or t_loc % m_loc == 0):
+            t_loc += m_a2a
+        assert t_loc % m_loc != 0
+        c, t = 8, t_loc * 4
+        with pytest.raises(ValueError):
+            chan.validate_sharded_shapes(mesh, c, t, frames="local")
+        chan.validate_sharded_shapes(mesh, c, t, frames="a2a")
+
+        rng = np.random.default_rng(83)
+        x = rng.standard_normal((c, t)).astype(np.float32)
+        step = chan.sharded_step(mesh, frames="a2a")
+        x_spec = NamedSharding(mesh, P(CHANNEL_AXIS, TIME_AXIS))
+        st_spec = NamedSharding(mesh, P(CHANNEL_AXIS, None))
+        xd = jax.device_put(jnp.asarray(x), x_spec)
+        st = tuple(jax.device_put(s, st_spec) for s in chan.init_state(c))
+        spec_sh, st2 = step(xd, st)
+        # one-shot unsharded step frames the whole stream contiguously —
+        # exactly the a2a semantic
+        spec_ref, _ = chan.step(jnp.asarray(x), chan.init_state(c))
+        assert spec_sh.shape == spec_ref.shape
+        assert snr(np.asarray(spec_ref), np.asarray(spec_sh)) >= 110.0
+
+    def test_rejects_bad_channel_count(self, chan):
+        mesh = make_dsp_mesh(2, 4)
+        with pytest.raises(ValueError, match="device count"):
+            chan.validate_sharded_shapes(
+                mesh, 4, chan.block_multiple("a2a") * 4, frames="a2a")
+
+
 class TestChannelizerRdmaHalo:
     """halo='rdma' (Pallas make_async_remote_copy, 1-D time mesh) must
     reproduce the ppermute path exactly (VERDICT r1 item 7)."""
