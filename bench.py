@@ -98,8 +98,9 @@ def main():
     on_tpu = jax.default_backend() in ("tpu", "axon")
     if fir_method is None:
         # The fused FIR+resample Pallas kernel is the measured winner on
-        # TPU (6526 vs 6323 Msps XLA block2 chain at 64ch on v5e, and
-        # +9.5 dB SNR at precision=high); pocketfft-based OLS wins on CPU.
+        # TPU (r3 honest harness: 8192 vs 2496 Msps XLA block2 chain at
+        # 64ch on v5e — docs/ROOFLINE.md — and +9.5 dB SNR at
+        # precision=high); pocketfft-based OLS wins on CPU.
         fir_method = "fused_pallas" if on_tpu else "ols"
 
     spectral = args.spectral
@@ -121,7 +122,7 @@ def main():
         def step(x, fir_st, rs_st):
             z, zf = ff.fused_fir_resample_pallas(
                 x, taps, 147, 160, rtaps, zi=fir_st, return_zf=True,
-                mode=mode, interpret=not on_tpu, rs_batch=4,
+                mode=mode, interpret=not on_tpu,
             )
             return z, zf, rs_st
     elif fir_method == "fused":
@@ -151,24 +152,22 @@ def main():
     rs_st = jnp.zeros((C, k - 1), jnp.float32)
 
     # --- correctness: SNR vs float64 scipy golden -------------------------
-    # Measured on a spread of channels (first/last/interior), not just
-    # channel 0, so a channel-dependent bug cannot pass (VERDICT r1).
-    snr_ch = sorted({0, 1, C // 2, C - 1} & set(range(C)))
+    # ALL-channel min (VERDICT r2 weak #9): a channel-dependent bug
+    # cannot pass.  The golden is vectorised scipy f64 over every channel.
     stamp("compiling SNR step...")
     z, _, _ = step(x, fir_st, rs_st)
     z.block_until_ready()
     stamp("SNR step done")
-    snrs = []
-    for c in snr_ch:
-        y64 = ss.lfilter(taps, [1.0], x_np[c].astype(np.float64))
-        z64 = ss.upfirdn(rtaps, y64, 147, 160)
-        ours = np.asarray(z[c], np.float64)
-        ref = z64[: ours.shape[0]]
-        err = ref - ours
-        snrs.append(10 * np.log10(np.sum(ref**2) / np.sum(err**2)))
-    snr = min(snrs)
-    log(f"SNR vs scipy f64 golden (min over ch {snr_ch}): {snr:.1f} dB "
-        f"(per-ch: {[round(s, 1) for s in snrs]})")
+    y64 = ss.lfilter(taps, [1.0], x_np.astype(np.float64), axis=-1)
+    z64 = ss.upfirdn(rtaps, y64, 147, 160, axis=-1)
+    ours = np.asarray(z, np.float64)
+    ref = z64[:, : ours.shape[1]]
+    err = ref - ours
+    per_ch = 10 * np.log10(
+        np.sum(ref**2, axis=-1) / np.sum(err**2, axis=-1))
+    snr = float(per_ch.min())
+    log(f"SNR vs scipy f64 golden (min over ALL {C} ch): {snr:.1f} dB "
+        f"(max {per_ch.max():.1f})")
 
     # --- throughput -------------------------------------------------------
     # The whole measurement loop runs ON DEVICE inside one jit (lax.scan
@@ -176,15 +175,25 @@ def main():
     # fetch, so tunnel/dispatch latency cannot pollute per-step time.
     from jax import lax
 
+    # Anti-DCE / anti-LICM harness: the probe scalar is the FULL-output
+    # sum (every element consumed — XLA cannot slice away work for
+    # non-opaque engines), scaled to ~1e-27 and fed back into the next
+    # iteration's input (a true cross-iteration data dependence, so the
+    # loop body is never loop-invariant even when the carried filter
+    # state is an input-only slice).  Numerically a no-op: the
+    # perturbation underflows f32.  (r3 finding: the old z[0,-1] probe
+    # let XLA dead-code 2/3 of the work out of pure-XLA engines.)
     def run_n(n):
         @jax.jit
         def go(x, fir0, rs0):
             def body(carry, _):
-                f, r = carry
-                z, f2, r2 = step(x, f, r)
-                return (f2, r2), z[0, -1]
-            (f, r), probes = lax.scan(body, (fir0, rs0), None, length=n)
-            return probes
+                f, r, c = carry
+                z, f2, r2 = step(x + c, f, r)
+                c2 = (jnp.sum(z) * 1e-30).astype(jnp.float32)
+                return (f2, r2, c2), ()
+            (f, r, c), _ = lax.scan(
+                body, (fir0, rs0, jnp.float32(0)), None, length=n)
+            return c
 
         return go
 
@@ -243,11 +252,14 @@ def main():
 
     @jax.jit
     def fft_go(v):
+        # same anti-DCE/LICM structure as run_n
         def body(c, _):
-            s = lz.rfft(v, nfft)
-            return c, jnp.abs(s[0, -1, 0])
-        _, probes = lax.scan(body, 0.0, None, length=args.iters)
-        return probes
+            s = lz.rfft(v + c, nfft)
+            c2 = ((jnp.sum(jnp.real(s)) + jnp.sum(jnp.imag(s)))
+                  * 1e-30).astype(jnp.float32)
+            return c2, ()
+        c, _ = lax.scan(body, jnp.float32(0), None, length=args.iters)
+        return c
 
     _ = np.asarray(fft_go(xf))
     t0 = time.perf_counter()

@@ -76,13 +76,25 @@ def main():
     x_np = rng.standard_normal((C, T)).astype(np.float32)
     x = jnp.asarray(x_np)
 
+    def _probe(out):
+        # full-output sum, scaled to underflow when fed back: anti-DCE
+        s = jnp.sum(jnp.real(out))
+        if jnp.iscomplexobj(out):
+            s = s + jnp.sum(jnp.imag(out))
+        return (s * 1e-30).astype(jnp.float32)
+
     def timeit(fn, *fargs):
+        # Anti-DCE/LICM: perturb the first arg with the carried
+        # full-output probe — a real cross-iteration dependence, so XLA
+        # can neither slice away unconsumed output nor hoist the
+        # loop-invariant body (the old [0, -1] probe allowed both for
+        # pure-XLA engines; Pallas calls were immune, skewing ranks).
         @jax.jit
         def go(*a):
             def body(c, _):
-                return c, fn(*a)[0, -1]
-            _, probes = lax.scan(body, 0, None, length=ITERS)
-            return probes
+                return _probe(fn(a[0] + c, *a[1:])), ()
+            c, _ = lax.scan(body, jnp.float32(0), None, length=ITERS)
+            return c
 
         r = go(*fargs); r.block_until_ready()
         t1 = time.perf_counter()
@@ -225,9 +237,9 @@ def main():
         @jax.jit
         def go(*a):
             def body(c, _):
-                return c, fn(*a)[0, -1]
-            _, probes = lax.scan(body, 0, None, length=iters)
-            return probes
+                return _probe(fn(a[0] + c, *a[1:])), ()
+            c, _ = lax.scan(body, jnp.float32(0), None, length=iters)
+            return c
 
         r = go(*fargs); r.block_until_ready()
         t1 = time.perf_counter()
@@ -319,9 +331,9 @@ def main():
             @jax.jit
             def go(*a):
                 def body(c, _):
-                    return c, fn(*a)[0, -1]
-                _, probes = lax.scan(body, 0, None, length=iters)
-                return probes
+                    return _probe(fn(a[0] + c, *a[1:])), ()
+                c, _ = lax.scan(body, jnp.float32(0), None, length=iters)
+                return c
 
             r = go(*fargs); r.block_until_ready()
             t1 = time.perf_counter()
@@ -353,18 +365,24 @@ def main():
             report(op="fusedopt", stage="fir_only", mode=mode,
                    msps=round(net_msps(fo, C * T, xpad0), 1))
 
-        # fused chain tile params at the sweep-1 winners
+        # fused chain tile params at the sweep-1 winners, plus the
+        # dense-weight "wide" variant (one K=2·block N=block dot per
+        # y-block: 1.78× the MACs of the banded form but full-width N —
+        # measured r3: 6.4 vs 7.8 Gsps, the banded form wins, kept as a
+        # recorded design decision)
         st0 = jnp.zeros((C, ff.fused_state_len(1024)), jnp.float32)
-        for gb, rsb in ((2, 8), (4, 8), (8, 8), (2, 16)):
+        for gb, rsb, wd in ((2, 8, False), (4, 8, False), (8, 8, False),
+                            (2, 16, False), (2, 8, True), (4, 8, True)):
             @jax.jit
-            def cf(v, st=st0, _g=gb, _r=rsb):
+            def cf(v, st=st0, _g=gb, _r=rsb, _w=wd):
                 z, _ = ff.fused_fir_resample_pallas(
                     v, taps, 147, 160, rtaps, zi=st, return_zf=True,
-                    mode="high", interpret=interp, gb=_g, rs_batch=_r)
+                    mode="high", interpret=interp, gb=_g, rs_batch=_r,
+                    wide=_w)
                 return z
 
             report(op="fusedopt", stage="chain", gb=gb, rs_batch=rsb,
-                   msps=round(net_msps(cf, C * T, x), 1))
+                   wide=wd, msps=round(net_msps(cf, C * T, x), 1))
 
         # XLA block2+resample chain, same harness, for a fair delta
         hlen = fir_mod.fir_state_len(1024, method="block2")

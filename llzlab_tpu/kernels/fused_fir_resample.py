@@ -47,7 +47,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from llzlab_tpu.kernels.block2_fir import band_k, block2_pallas_tables
+from llzlab_tpu.kernels.block2_fir import (band_k, block2_pallas_tables,
+                                           _w_matrix)
 from llzlab_tpu.ops.fir import block2_block
 from llzlab_tpu.ops.resample import polyphase_weights, resample_output_len
 
@@ -117,10 +118,34 @@ def _rs_tables_cached(r_bytes: bytes, up: int, down: int, mode: str):
         return jnp.asarray(hi), jnp.asarray(lo)
 
 
-def fused_tables(fir_taps, rtaps, up: int, down: int, mode: str = "high"):
-    """Host-built weight tables: FIR banded tiles + resample bank."""
-    block = block2_block(len(np.asarray(fir_taps)))
-    wt = block2_pallas_tables(fir_taps, block, mode)
+@functools.lru_cache(maxsize=16)
+def _wide_tables_cached(taps_bytes: bytes, block: int, mode: str):
+    """Dense (2·block, block) block2 weight (zero-padded band): one
+    K=2·block, N=block dot per y-block instead of nt banded
+    K=band, N=128 dots — 1.78× the MACs at the headline shape but a
+    full-width MXU N dimension."""
+    taps = np.frombuffer(taps_bytes, np.float64)
+    w = _w_matrix(taps, block)
+    with jax.ensure_compile_time_eval():
+        if mode == "highest":
+            return (jnp.asarray(w.astype(np.float32)),)
+        hi = w.astype(np.float32).astype(jnp.bfloat16)
+        lo = (w - np.asarray(hi, np.float64)).astype(np.float32).astype(
+            jnp.bfloat16
+        )
+        return jnp.asarray(hi), jnp.asarray(lo)
+
+
+def fused_tables(fir_taps, rtaps, up: int, down: int, mode: str = "high",
+                 wide: bool = False):
+    """Host-built weight tables: FIR banded tiles (or the dense wide
+    matrix) + resample bank."""
+    fir_np = np.asarray(jax.device_get(fir_taps), np.float64)
+    block = block2_block(len(fir_np))
+    if wide:
+        wt = _wide_tables_cached(fir_np.tobytes(), block, mode)
+    else:
+        wt = block2_pallas_tables(fir_taps, block, mode)
     rt = _rs_tables_cached(
         np.asarray(rtaps, np.float64).tobytes(), up, down, mode
     )
@@ -141,7 +166,7 @@ def _bf16_split(s):
 
 
 def _kernel(block, kb, nt, nyb, up, down, k2, G, off, mode, gb, rs_batch,
-            x1_ref, x2_ref, *refs):
+            wide, x1_ref, x2_ref, *refs):
     if mode == "high":
         whi_ref, wlo_ref, rhi_ref, rlo_ref, o_ref, y_ref = refs[:6]
     else:
@@ -167,6 +192,17 @@ def _kernel(block, kb, nt, nyb, up, down, k2, G, off, mode, gb, rs_batch,
         s = jnp.concatenate(rows, axis=0) if gs > 1 else rows[0]
         if mode == "high":
             s_hi, s_lo = _bf16_split(s)
+        if wide:
+            # one dense K=2·block, N=block dot per y-block batch
+            if mode == "high":
+                y = (_dot(s_hi, whi_ref[:, :]) + _dot(s_lo, whi_ref[:, :])
+                     + _dot(s_hi, wlo_ref[:, :]))
+            else:
+                y = _dot(s, w_ref[:, :], highest=True)
+            for j in range(gs):
+                col = (g0 + j) * block
+                y_ref[:, col : col + block] = y[j * b : (j + 1) * b, :]
+            continue
         for t in range(nt):
             ms = t * 128 + block + 128 - kb
             if mode == "high":
@@ -242,11 +278,11 @@ def _channel_tile(b: int, cap: int = 128) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("ntaps", "up", "down", "k", "mode", "interpret", "gb",
-                     "rs_batch"),
+                     "rs_batch", "wide"),
 )
 def _fused_pallas_jit(xh, tables, *, ntaps: int, up: int, down: int,
                       k: int, mode: str, interpret: bool, gb: int = 0,
-                      rs_batch: int = 8):
+                      rs_batch: int = 8, wide: bool = False):
     block = block2_block(ntaps)
     b, tp = xh.shape
     t = tp - 2 * block
@@ -293,7 +329,7 @@ def _fused_pallas_jit(xh, tables, *, ntaps: int, up: int, down: int,
         scratch.append(pltpu.VMEM((rs_batch * cb, k2p), jnp.float32))
     z = pl.pallas_call(
         functools.partial(_kernel, block, kb, nt, nyb, up, down, k2, G,
-                          off, mode, gb, rs_batch),
+                          off, mode, gb, rs_batch, wide),
         grid=grid,
         in_specs=[
             # program (c, i): input window = xh blocks [i·P, i·P + P) …
@@ -328,6 +364,7 @@ def fused_fir_resample_pallas(
     interpret=None,
     gb: int = 0,
     rs_batch: int = 8,
+    wide: bool = False,
 ):
     """Fused FIR→resample on ``(..., T)`` → ``(..., T·up/down)``.
 
@@ -349,7 +386,7 @@ def fused_fir_resample_pallas(
     k = len(r_np) // up
     ntaps = len(fir_np)
     block = block2_block(ntaps)
-    tables = fused_tables(fir_np, r_np, up, down, mode)
+    tables = fused_tables(fir_np, r_np, up, down, mode, wide=wide)
 
     shape = x.shape
     t = shape[-1]
@@ -362,7 +399,7 @@ def fused_fir_resample_pallas(
     xh = jnp.concatenate([hist, xb], axis=-1)
     z = _fused_pallas_jit(
         xh, tables, ntaps=ntaps, up=up, down=down, k=k, mode=mode,
-        interpret=interpret, gb=gb, rs_batch=rs_batch,
+        interpret=interpret, gb=gb, rs_batch=rs_batch, wide=wide,
     )
     n_out = resample_output_len(t, up, down)
     z = z[:, :n_out].reshape(shape[:-1] + (n_out,)).astype(x.dtype)

@@ -50,6 +50,8 @@ __all__ = [
     "rfft_matmul",
     "irfft_matmul",
     "split_factors",
+    "precision_scope",
+    "matmul_precision",
 ]
 
 
@@ -86,6 +88,9 @@ def _dft_tables(n: int) -> Tuple[np.ndarray, ...]:
     return tuple(out)
 
 
+_PRECISION_OVERRIDE: Optional[str] = None
+
+
 def matmul_precision():
     """MXU precision for all signal-path matmuls.
 
@@ -94,15 +99,42 @@ def matmul_precision():
     80 dB budget (BASELINE.json:5).  HIGHEST (bf16 multi-pass ≈ full f32)
     is the default; set LLZ_MATMUL_PRECISION=high to trade ~10–15 dB of
     margin for ~2× MXU rate (bf16_3x) when a chain's budget allows.
+    A :func:`precision_scope` override beats the env var — stages with
+    their own accuracy budget (e.g. ``SpectralGainStage``) must not be
+    silently degraded by a process-wide default.
     """
     import os
 
-    name = os.environ.get("LLZ_MATMUL_PRECISION", "highest").lower()
+    name = _PRECISION_OVERRIDE or os.environ.get(
+        "LLZ_MATMUL_PRECISION", "highest"
+    ).lower()
     return {
         "highest": jax.lax.Precision.HIGHEST,
         "high": jax.lax.Precision.HIGH,
         "default": jax.lax.Precision.DEFAULT,
     }[name]
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def precision_scope(name: Optional[str]):
+    """Pin :func:`matmul_precision` to ``name`` ("highest" | "high" |
+    "default") while tracing the enclosed computation; ``None`` is a
+    no-op (inherit env).  Trace-time state — wrap the code that BUILDS
+    the jaxpr, which is where the einsum precision attribute is fixed.
+    """
+    global _PRECISION_OVERRIDE
+    if name is None:
+        yield
+        return
+    prev = _PRECISION_OVERRIDE
+    _PRECISION_OVERRIDE = name
+    try:
+        yield
+    finally:
+        _PRECISION_OVERRIDE = prev
 
 
 def _cmatmul(ar, ai, br, bi, eq: str):

@@ -1,0 +1,91 @@
+"""collective_traffic: measured HLO comm vs the analytic model.
+
+The weak-scaling harness (scripts/pod_scaling.py) models the sharded
+channelizer's steady-state communication analytically; VERDICT r2 weak
+#6 demanded a measured cross-check.  These tests pin the HLO parser's
+accounting on known collectives, and assert the channelizer's compiled
+sharded step emits ppermute traffic matching the analytic halo model.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+import llzlab_tpu as lz
+from llzlab_tpu.utils.profiling import collective_traffic
+
+
+def _mesh1d(n=8):
+    return Mesh(np.array(jax.devices()[:n]).reshape(n), ("t",))
+
+
+class TestParser:
+    def test_ppermute_bytes(self):
+        mesh = _mesh1d(8)
+
+        def f(x):
+            h = jax.lax.ppermute(
+                x[:, -5:], "t", [(i, i + 1) for i in range(7)])
+            return x + h.sum()
+
+        sf = jax.jit(shard_map(f, mesh=mesh, in_specs=P(None, "t"),
+                               out_specs=P(None, "t")))
+        x = jnp.zeros((4, 64), jnp.float32)
+        txt = sf.lower(x).compile().as_text()
+        r = collective_traffic(txt)
+        cp = [o for o in r["ops"] if o["op"] == "collective-permute"]
+        assert len(cp) == 1
+        # payload per send: (4, 5) f32 = 80 B, 7 source-target pairs
+        assert cp[0]["bytes_per_device"] == 4 * 5 * 4
+        assert cp[0]["bytes"] == 4 * 5 * 4 * 7
+
+    def test_no_collectives_is_zero(self):
+        f = jax.jit(lambda x: x * 2.0)
+        txt = f.lower(jnp.zeros((8, 8))).compile().as_text()
+        assert collective_traffic(txt)["total_bytes"] == 0
+
+
+class TestChannelizerCrossCheck:
+    def test_halo_model_matches_hlo(self):
+        """Analytic halo model == compiled ppermute bytes for the
+        sharded channelizer step (time-only mesh, local frames)."""
+        from llzlab_tpu.chains.channelizer import Channelizer
+        from llzlab_tpu.parallel.mesh import (
+            make_dsp_mesh, CHANNEL_AXIS, TIME_AXIS)
+        from jax.sharding import NamedSharding
+
+        n_time = 4
+        chan = Channelizer(
+            fir_taps=lz.firwin(256, 0.4), fft_n=128,
+            taps_per_phase=16, fir_method="direct",
+        )
+        m = chan.block_multiple()
+        c_total, t_total = 8, m * n_time
+        mesh = make_dsp_mesh(1, n_time)
+        chan.validate_sharded_shapes(mesh, c_total, t_total)
+        step = chan.sharded_step(mesh)
+
+        x = jax.device_put(
+            np.zeros((c_total, t_total), np.float32),
+            NamedSharding(mesh, P(CHANNEL_AXIS, TIME_AXIS)))
+        st = tuple(jax.device_put(
+            s, NamedSharding(mesh, P(CHANNEL_AXIS, None)))
+            for s in chan.init_state(c_total))
+        txt = step.lower(x, st).compile().as_text()
+        r = collective_traffic(txt)
+
+        cp_bytes = sum(o["bytes"] for o in r["ops"]
+                       if o["op"] == "collective-permute")
+        # Analytic model (scripts/pod_scaling.py comm_bytes): halo +
+        # tail broadcast, each (n_time-1) sends of C x h floats for the
+        # FIR and resample stages.  Must equal the compiled ppermute
+        # traffic EXACTLY.
+        expect = 2 * (n_time - 1) * c_total * (chan.h_fir + chan.h_rs) * 4
+        assert cp_bytes == expect, (cp_bytes, expect, r["ops"])
+        # The O(n^2) all-gather tail broadcast must stay gone
+        # (broadcast_from_last is a masked one-to-all ppermute).
+        assert not any(o["op"] == "all-gather" for o in r["ops"]), r["ops"]
+        assert r["total_bytes"] == cp_bytes
