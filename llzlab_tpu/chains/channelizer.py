@@ -225,10 +225,16 @@ class Channelizer:
         Requires ``C % n_channel == 0`` and ``T/n_time`` a multiple of
         :meth:`block_multiple(frames)`.
 
-        ``halo``: "ppermute" (XLA collective, any mesh) or "rdma" (Pallas
-        ``make_async_remote_copy``, kernels/halo_ring.py) — the RDMA form
-        needs a 1-D time-only mesh (jax 0.9 ``dma_start`` limitation, see
-        that module's docstring) and falls back to interpret mode off-TPU.
+        ``halo``: "ppermute" (XLA collective, any mesh), "rdma" (Pallas
+        ``make_async_remote_copy``, kernels/halo_ring.py — exchange as a
+        standalone kernel), or "rdma_fused" (kernels/halo_fir_fused.py —
+        the exchange and the block2 FIR live in ONE kernel: the DMA is
+        started at grid step 0, interior y-blocks compute while it
+        flies, and only the halo-dependent block 0 waits on the receive
+        semaphore; needs fir_method='block2').  Both RDMA forms need a
+        1-D time-only mesh (jax 0.9 ``dma_start`` limitation, see
+        halo_ring.py's docstring) and fall back to interpret mode
+        off-TPU.
 
         ``halo_overlap``: overlap the halo exchange with the bulk FIR
         compute (SURVEY §7 hard part 4).  The stages are linear, so the
@@ -254,12 +260,23 @@ class Channelizer:
         """
         axes = tuple(mesh.axis_names)
         c_ax = CHANNEL_AXIS if CHANNEL_AXIS in axes else None
-        if halo == "rdma":
+        if halo in ("rdma", "rdma_fused"):
             if axes != (TIME_AXIS,):
                 raise ValueError(
-                    "halo='rdma' needs a 1-D (time,) mesh — jax dma_start "
-                    "cannot address peers on multi-axis meshes (see "
-                    "kernels/halo_ring.py)"
+                    f"halo={halo!r} needs a 1-D (time,) mesh — jax "
+                    "dma_start cannot address peers on multi-axis meshes "
+                    "(see kernels/halo_ring.py)"
+                )
+            if halo == "rdma_fused" and self.fir_method != "block2":
+                raise ValueError(
+                    "halo='rdma_fused' fuses the exchange into the "
+                    "block2 FIR kernel — needs fir_method='block2' "
+                    f"(got {self.fir_method!r})"
+                )
+            if halo == "rdma_fused" and halo_overlap:
+                raise ValueError(
+                    "halo='rdma_fused' already overlaps the exchange "
+                    "inside the kernel; halo_overlap does not compose"
                 )
             from llzlab_tpu.kernels.halo_ring import left_halo_ring
 
@@ -341,16 +358,34 @@ class Channelizer:
                 # ONE halo: the 2·block input history carries both the
                 # FIR reach and the resampler's y-lookback, so the fused
                 # engine halves the chain's steady-state collectives.
-                halo = halo_fn(x_l, self.h_fir, fir_st, 13)
-                z, _ = self._fused_step(x_l, halo)
+                halo_v = halo_fn(x_l, self.h_fir, fir_st, 13)
+                z, _ = self._fused_step(x_l, halo_v)
                 tail = broadcast_from_last(x_l[..., -self.h_fir:])
                 out = self._frames(z) if emit_frames else z
                 return out, tail, rs_st
-            halo_f = halo_fn(x_l, self.h_fir, fir_st, 13)
-            y, _ = _fir.fir_filter(
-                x_l, self.fir_taps, method=self.fir_method, nfft=self.nfft,
-                zi=halo_f, return_zf=True,
-            )
+            if halo == "rdma_fused":
+                # exchange + FIR in ONE overlapped Pallas kernel: the
+                # halo DMA flies while the interior y-blocks compute
+                # (kernels/halo_fir_fused.py, SURVEY §7 hard part 4)
+                import os as _os
+
+                from llzlab_tpu.kernels.halo_fir_fused import (
+                    block2_fir_halo_fused,
+                )
+
+                prec = {"highest": "highest", "high": "high",
+                        "default": "high"}[_os.environ.get(
+                            "LLZ_MATMUL_PRECISION", "highest").lower()]
+                y = block2_fir_halo_fused(
+                    x_l, self.fir_taps, first_shard_value=fir_st,
+                    mode=prec, use_rdma=True, collective_id=15,
+                )
+            else:
+                halo_f = halo_fn(x_l, self.h_fir, fir_st, 13)
+                y, _ = _fir.fir_filter(
+                    x_l, self.fir_taps, method=self.fir_method,
+                    nfft=self.nfft, zi=halo_f, return_zf=True,
+                )
             fir_tail = broadcast_from_last(x_l[..., -self.h_fir:])
             halo_r = halo_fn(y, self.h_rs, rs_st, 14)
             z, _ = _rs.resample_poly(
