@@ -178,17 +178,20 @@ def main():
     # Anti-DCE / anti-LICM harness: the probe scalar is the FULL-output
     # sum (every element consumed — XLA cannot slice away work for
     # non-opaque engines), scaled to ~1e-27 and fed back into the next
-    # iteration's input (a true cross-iteration data dependence, so the
-    # loop body is never loop-invariant even when the carried filter
+    # iteration's FILTER STATE (a true cross-iteration data dependence,
+    # so the loop body is never loop-invariant even when the carried
     # state is an input-only slice).  Numerically a no-op: the
-    # perturbation underflows f32.  (r3 finding: the old z[0,-1] probe
-    # let XLA dead-code 2/3 of the work out of pure-XLA engines.)
+    # perturbation underflows f32.  Perturbing the small state instead
+    # of x keeps the artificial HBM traffic at ~0.5 MB/step rather than
+    # two full passes over the 63 MB signal.  (r3 finding: the old
+    # z[0,-1] probe let XLA dead-code 2/3 of the work out of pure-XLA
+    # engines.)
     def run_n(n):
         @jax.jit
         def go(x, fir0, rs0):
             def body(carry, _):
                 f, r, c = carry
-                z, f2, r2 = step(x + c, f, r)
+                z, f2, r2 = step(x, f + c, r)
                 c2 = (jnp.sum(z) * 1e-30).astype(jnp.float32)
                 return (f2, r2, c2), ()
             (f, r, c), _ = lax.scan(

@@ -54,5 +54,32 @@ from llzlab_tpu.ops import (  # noqa: F401
 )
 # imported from the submodule, not llzlab_tpu.ops, so the scipy-named
 # function never shadows the ops.resample module
-from llzlab_tpu.ops.resample import resample  # noqa: F401
+from llzlab_tpu.ops.resample import resample, decimate  # noqa: F401
+from llzlab_tpu.ops.fir import (  # noqa: F401
+    firwin2, kaiserord, kaiser_beta, kaiser_atten,
+)
+from llzlab_tpu.ops.iir import (  # noqa: F401
+    buttord, cheb1ord, cheb2ord, ellipord, tf2sos,
+)
+from llzlab_tpu.ops.analysis import (  # noqa: F401
+    freqz, sosfreqz, group_delay, spectrogram, hilbert, periodogram,
+    welch, csd, coherence,
+)
+from llzlab_tpu.ops.convolve import fftconvolve, correlate  # noqa: F401
+from llzlab_tpu.ops.smooth import (  # noqa: F401
+    detrend, savgol_coeffs, savgol_filter, medfilt, wiener,
+)
+from llzlab_tpu.ops.dct import dct, idct, dst, idst  # noqa: F401
+from llzlab_tpu.ops.chirpz import czt, zoom_fft  # noqa: F401
+from llzlab_tpu.ops.signals import (  # noqa: F401
+    chirp, square, sawtooth, gausspulse,
+)
+# scipy.signal-compatible front doors (ops/compat.py): designers with
+# ba/zpk/sos outputs, representation conversions, and utilities
+from llzlab_tpu.ops.compat import (  # noqa: F401
+    butter, cheby1, cheby2, ellip, bessel, iirfilter, iirdesign,
+    bilinear_zpk, zpk2tf, tf2zpk, zpk2sos, sos2tf, sos2zpk, normalize,
+    lfiltic, deconvolve, freqs, convolve, oaconvolve, upfirdn,
+    envelope, unit_impulse, lombscargle, find_peaks,
+)
 from llzlab_tpu.pipeline import Chain  # noqa: F401

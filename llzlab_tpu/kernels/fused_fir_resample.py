@@ -166,19 +166,28 @@ def _bf16_split(s):
 
 
 def _kernel(block, kb, nt, nyb, up, down, k2, G, off, mode, gb, rs_batch,
-            wide, x1_ref, x2_ref, *refs):
+            wide, tdim, xp_ref, xm_ref, xh_ref, *refs):
+    # Inputs (r3 layout — history is a SEPARATE input, so the caller
+    # never materialises concat(hist, x) in HBM):
+    #   xp_ref: the 2·block of signal preceding this program's window
+    #           (clamped to x[0:2b) at program 0, unused there)
+    #   xm_ref: this program's P_in window of x
+    #   xh_ref: the carried 2·block stream history (selected over xp at
+    #           program 0 — the only program whose left context is not
+    #           in x)
     if mode == "high":
         whi_ref, wlo_ref, rhi_ref, rlo_ref, o_ref, y_ref = refs[:6]
     else:
         w_ref, r_ref, o_ref, y_ref = refs[:4]
     sl_ref = refs[-1] if rs_batch > 1 else None
-    b = x1_ref.shape[0]
-    n1 = x1_ref.shape[1] // block
+    b = xm_ref.shape[0]
+    i_t = pl.program_id(tdim)
 
     def piece(j):
-        if j < n1:
-            return x1_ref[:, j * block : (j + 1) * block]
-        return x2_ref[:, (j - n1) * block : (j - n1 + 1) * block]
+        if j < 2:
+            sl = slice(j * block, (j + 1) * block)
+            return jnp.where(i_t == 0, xh_ref[:, sl], xp_ref[:, sl])
+        return xm_ref[:, (j - 2) * block : (j - 1) * block]
 
     # ---- stage 1: block2 FIR into VMEM scratch -------------------------
     # Local y block m covers global FIR outputs [i·P − block + m·block, …);
@@ -280,12 +289,11 @@ def _channel_tile(b: int, cap: int = 128) -> int:
     static_argnames=("ntaps", "up", "down", "k", "mode", "interpret", "gb",
                      "rs_batch", "wide"),
 )
-def _fused_pallas_jit(xh, tables, *, ntaps: int, up: int, down: int,
+def _fused_pallas_jit(x, hist, tables, *, ntaps: int, up: int, down: int,
                       k: int, mode: str, interpret: bool, gb: int = 0,
                       rs_batch: int = 8, wide: bool = False):
     block = block2_block(ntaps)
-    b, tp = xh.shape
-    t = tp - 2 * block
+    b, t = x.shape
     p_in = fused_program_in(ntaps, up, down)
     if t % p_in:
         raise ValueError(f"T={t} must be a multiple of P={p_in}")
@@ -307,17 +315,24 @@ def _fused_pallas_jit(xh, tables, *, ntaps: int, up: int, down: int,
     ys_len = off + (G - 1) * down + k2p
     ys_len = -(-ys_len // 128) * 128
 
+    # prev-tail index in (cb, 2·block)-block units: program i's left
+    # context starts at x[i·P − 2·block]; clamped to 0 at program 0
+    # (those reads are masked by the hist select in the kernel).
     x2_idx = p_in // (2 * block)
     if b == cb:  # single channel tile: keep the 1-D grid (no size-1 dim)
         grid = (nprog,)
+        tdim = 0
+        pmap = lambda i, _x=x2_idx: (0, jnp.maximum(i * _x - 1, 0))
         xmap = lambda i: (0, i)
-        x2map = lambda i, _x=x2_idx: (0, i * _x + _x)
+        hmap = lambda i: (0, 0)
         omap = lambda i: (0, i)
         wmaps = [(lambda i, _n=w.ndim: (0,) * _n) for w in tables]
     else:
         grid = (b // cb, nprog)
+        tdim = 1
+        pmap = lambda c, i, _x=x2_idx: (c, jnp.maximum(i * _x - 1, 0))
         xmap = lambda c, i: (c, i)
-        x2map = lambda c, i, _x=x2_idx: (c, i * _x + _x)
+        hmap = lambda c, i: (c, 0)
         omap = lambda c, i: (c, i)
         wmaps = [(lambda c, i, _n=w.ndim: (0,) * _n) for w in tables]
     wspecs = [
@@ -329,14 +344,15 @@ def _fused_pallas_jit(xh, tables, *, ntaps: int, up: int, down: int,
         scratch.append(pltpu.VMEM((rs_batch * cb, k2p), jnp.float32))
     z = pl.pallas_call(
         functools.partial(_kernel, block, kb, nt, nyb, up, down, k2, G,
-                          off, mode, gb, rs_batch, wide),
+                          off, mode, gb, rs_batch, wide, tdim),
         grid=grid,
         in_specs=[
-            # program (c, i): input window = xh blocks [i·P, i·P + P) …
+            # prev-tail: the 2·block of x preceding this program's window
+            pl.BlockSpec((cb, 2 * block), pmap, memory_space=pltpu.VMEM),
+            # main window: x blocks [i·P, i·P + P)
             pl.BlockSpec((cb, p_in), xmap, memory_space=pltpu.VMEM),
-            # … plus 2·block of lookahead (the same array passed twice;
-            # index in units of the (cb, 2·block) block shape).
-            pl.BlockSpec((cb, 2 * block), x2map, memory_space=pltpu.VMEM),
+            # carried stream history (program 0's left context)
+            pl.BlockSpec((cb, 2 * block), hmap, memory_space=pltpu.VMEM),
             *wspecs,
         ],
         out_specs=pl.BlockSpec((cb, G * up), omap,
@@ -347,7 +363,7 @@ def _fused_pallas_jit(xh, tables, *, ntaps: int, up: int, down: int,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(xh, xh, *tables)
+    )(x, x, hist, *tables)
     return z
 
 
@@ -396,16 +412,17 @@ def fused_fir_resample_pallas(
         hist = jnp.zeros((b, 2 * block), jnp.float32)
     else:
         hist = zi.reshape(b, 2 * block).astype(jnp.float32)
-    xh = jnp.concatenate([hist, xb], axis=-1)
+    # history travels as a separate kernel input — no concat(hist, x)
+    # materialisation in HBM (two full signal passes saved per step)
     z = _fused_pallas_jit(
-        xh, tables, ntaps=ntaps, up=up, down=down, k=k, mode=mode,
+        xb, hist, tables, ntaps=ntaps, up=up, down=down, k=k, mode=mode,
         interpret=interpret, gb=gb, rs_batch=rs_batch, wide=wide,
     )
     n_out = resample_output_len(t, up, down)
     z = z[:, :n_out].reshape(shape[:-1] + (n_out,)).astype(x.dtype)
     if not return_zf:
         return z
-    zf = xh[:, -2 * block:].astype(x.dtype).reshape(
+    zf = xb[:, -2 * block:].astype(x.dtype).reshape(
         shape[:-1] + (2 * block,)
     )
     return z, zf

@@ -517,26 +517,59 @@ def _ord_band_edges(wp, ws, btype, fs):
         p0 = _golden_max(lambda v: nat_for(v, Wp[1]), Wp[0], Ws[0] * (1 - 1e-12))
         p1 = _golden_max(lambda v: nat_for(p0, v), Ws[1] * (1 + 1e-12), Wp[1])
         nat = nat_for(p0, p1)
+        Wp = np.array([p0, p1])  # the tightened edges ARE the prototype's
     else:
         raise ValueError(f"unknown btype {btype!r}")
     if nat <= 1.0:
         raise ValueError("stopband must be strictly beyond the passband")
-    return float(nat), wp
+    return float(nat), wp, Wp
 
 
 def buttord(wp, ws, gpass: float, gstop: float, fs: float = 2.0):
     """Minimum Butterworth order meeting ≤``gpass`` dB passband loss and
-    ≥``gstop`` dB stopband attenuation.  Returns ``(order, wn)`` with ``wn``
-    the passband edge(s) to pass to :func:`butter_sos` (gpass is met
-    exactly at wn; the margin goes to the stopband)."""
-    nat, wp_n = _ord_band_edges(wp, ws, _ord_btype(wp, ws), fs)
+    ≥``gstop`` dB stopband attenuation.  Returns ``(order, wn)`` with
+    ``wn`` the −3 dB corner(s) to pass to :func:`butter_sos`.
+
+    ``wn`` is ADJUSTED so the rounded-up order meets the passband spec
+    exactly, with the margin going to the stopband (scipy semantics).
+    Returning the raw passband edge — as this function did before r3 —
+    silently violates any ``gpass`` < 3 dB spec, since a Butterworth is
+    always −3 dB at its corner.
+    """
+    btype = _ord_btype(wp, ws)
+    nat, wp_n, Wp_w = _ord_band_edges(wp, ws, btype, fs)
     d = (10.0 ** (0.1 * gstop) - 1.0) / (10.0 ** (0.1 * gpass) - 1.0)
-    order = int(np.ceil(np.log(d) / (2.0 * np.log(nat))))
-    return max(order, 1), np.squeeze(wp_n * fs / 2.0)
+    order = max(int(np.ceil(np.log(d) / (2.0 * np.log(nat)))), 1)
+    # prototype cutoff meeting gpass exactly at the passband edge v = 1
+    w0 = (10.0 ** (0.1 * gpass) - 1.0) ** (-1.0 / (2.0 * order))
+
+    def warp(w):
+        return 4.0 * np.tan(np.pi * np.asarray(w, np.float64) / 2.0)
+
+    def unwarp(W):
+        return (2.0 / np.pi) * np.arctan(np.asarray(W) / 4.0)
+
+    Wp = Wp_w  # warped (bandstop: tightened) passband edges
+    btype = btype.lower()
+    if btype in ("lowpass", "low", "lp"):
+        WN = np.array([w0 * Wp[0]])
+    elif btype in ("highpass", "high", "hp"):
+        WN = np.array([Wp[0] / w0])
+    elif btype in ("bandpass", "bp"):
+        bw = Wp[1] - Wp[0]
+        wo2 = Wp[0] * Wp[1]
+        disc = np.sqrt((w0 * bw) ** 2 + 4.0 * wo2)
+        WN = np.array([(-w0 * bw + disc) / 2.0, (w0 * bw + disc) / 2.0])
+    else:  # bandstop
+        bw = Wp[1] - Wp[0]
+        wo2 = Wp[0] * Wp[1]
+        disc = np.sqrt(bw * bw + 4.0 * w0 * w0 * wo2)
+        WN = np.array([(-bw + disc) / (2.0 * w0), (bw + disc) / (2.0 * w0)])
+    return order, np.squeeze(unwarp(WN) * fs / 2.0)
 
 
 def cheb1ord(wp, ws, gpass: float, gstop: float, fs: float = 2.0):
-    nat, wp_n = _ord_band_edges(wp, ws, _ord_btype(wp, ws), fs)
+    nat, wp_n, _ = _ord_band_edges(wp, ws, _ord_btype(wp, ws), fs)
     d = (10.0 ** (0.1 * gstop) - 1.0) / (10.0 ** (0.1 * gpass) - 1.0)
     order = int(np.ceil(np.arccosh(np.sqrt(d)) / np.arccosh(nat)))
     return max(order, 1), np.squeeze(wp_n * fs / 2.0)
@@ -546,14 +579,14 @@ def cheb2ord(wp, ws, gpass: float, gstop: float, fs: float = 2.0):
     """Returns ``(order, wn)`` with ``wn`` the *stopband* edge(s) for
     :func:`cheby2_sos` (scipy returns a tightened edge; we return ws —
     the spec is still met, with margin at the passband side)."""
-    nat, _ = _ord_band_edges(wp, ws, _ord_btype(wp, ws), fs)
+    nat, _, _ = _ord_band_edges(wp, ws, _ord_btype(wp, ws), fs)
     d = (10.0 ** (0.1 * gstop) - 1.0) / (10.0 ** (0.1 * gpass) - 1.0)
     order = int(np.ceil(np.arccosh(np.sqrt(d)) / np.arccosh(nat)))
     return max(order, 1), np.squeeze(np.asarray(ws, np.float64))
 
 
 def ellipord(wp, ws, gpass: float, gstop: float, fs: float = 2.0):
-    nat, wp_n = _ord_band_edges(wp, ws, _ord_btype(wp, ws), fs)
+    nat, wp_n, _ = _ord_band_edges(wp, ws, _ord_btype(wp, ws), fs)
     ep = np.sqrt(10.0 ** (0.1 * gpass) - 1.0)
     es = np.sqrt(10.0 ** (0.1 * gstop) - 1.0)
     k = 1.0 / nat  # selectivity
