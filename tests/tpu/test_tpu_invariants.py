@@ -13,6 +13,7 @@ import pytest
 import scipy.signal as ss
 
 import llzlab_tpu as lz
+from llzlab_tpu.runtime.platform import fetch
 
 pytestmark = pytest.mark.tpu
 
@@ -34,7 +35,7 @@ class TestTransformTPU:
     def test_fft_snr(self, x64ch):
         n = 2048
         xf = jnp.asarray(x64ch[:, :n])
-        ours = np.asarray(lz.rfft(xf, n))
+        ours = fetch(lz.rfft(xf, n))  # complex D2H needs the tunnel-safe split
         ref = np.fft.rfft(x64ch[:, :n].astype(np.float64), n, axis=-1)
         assert _snr(ref, ours) > 110.0
 
