@@ -287,14 +287,15 @@ def _channel_tile(b: int, cap: int = 128) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("ntaps", "up", "down", "k", "mode", "interpret", "gb",
-                     "rs_batch", "wide"),
+                     "rs_batch", "wide", "p_mult"),
 )
 def _fused_pallas_jit(x, hist, tables, *, ntaps: int, up: int, down: int,
                       k: int, mode: str, interpret: bool, gb: int = 0,
-                      rs_batch: int = 8, wide: bool = False):
+                      rs_batch: int = 8, wide: bool = False,
+                      p_mult: int = 1):
     block = block2_block(ntaps)
     b, t = x.shape
-    p_in = fused_program_in(ntaps, up, down)
+    p_in = fused_program_in(ntaps, up, down) * p_mult
     if t % p_in:
         raise ValueError(f"T={t} must be a multiple of P={p_in}")
     nprog = t // p_in
@@ -360,7 +361,8 @@ def _fused_pallas_jit(x, hist, tables, *, ntaps: int, up: int, down: int,
         out_shape=jax.ShapeDtypeStruct((b, nprog * G * up), jnp.float32),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            # v5e has 128 MB VMEM; p_mult=3 at 64 ch peaks at ~100.2 MB
+            vmem_limit_bytes=112 * 1024 * 1024,
         ),
         interpret=interpret,
     )(x, x, hist, *tables)
@@ -381,6 +383,7 @@ def fused_fir_resample_pallas(
     gb: int = 0,
     rs_batch: int = 8,
     wide: bool = False,
+    p_mult: int = 0,
 ):
     """Fused FIR→resample on ``(..., T)`` → ``(..., T·up/down)``.
 
@@ -412,11 +415,23 @@ def fused_fir_resample_pallas(
         hist = jnp.zeros((b, 2 * block), jnp.float32)
     else:
         hist = zi.reshape(b, 2 * block).astype(jnp.float32)
+    if p_mult <= 0:
+        # auto: the largest program multiple that divides T within the
+        # VMEM envelope (measured v5e: pm=3 fits at 64 ch, pm=4 does
+        # not; +4% from amortising per-program overheads)
+        p0 = fused_program_in(ntaps, up, down)
+        cb_est = _channel_tile(b)
+        p_mult = 1
+        for pm in (4, 3, 2):
+            if t % (p0 * pm) == 0 and cb_est * 4 * p0 * pm * 6 <= 100e6:
+                p_mult = pm
+                break
     # history travels as a separate kernel input — no concat(hist, x)
     # materialisation in HBM (two full signal passes saved per step)
     z = _fused_pallas_jit(
         xb, hist, tables, ntaps=ntaps, up=up, down=down, k=k, mode=mode,
         interpret=interpret, gb=gb, rs_batch=rs_batch, wide=wide,
+        p_mult=p_mult,
     )
     n_out = resample_output_len(t, up, down)
     z = z[:, :n_out].reshape(shape[:-1] + (n_out,)).astype(x.dtype)

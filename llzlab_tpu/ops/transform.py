@@ -23,12 +23,10 @@ computed in float64 on host and rounded once (SURVEY.md §7 hard part 2).
 on CPU test meshes).  ``method="auto"`` picks matmul on TPU for supported
 sizes.
 
-Measured (v5e via tunnel, r3 probe, batched 2048-pt rfft over 64×117
-frames): matmul 5445 Msps @ 139.9 dB vs XLA's TPU FFT 5953 Msps @
-131.2 dB — comparable speed on current jax (the XLA path has improved
-since the r1 measurement that motivated this kernel), with the matmul
-path keeping a ~9 dB SNR edge from the f64-derived tables.  "auto"
-therefore stays on matmul for precision, not speed.
+Measured (v5e via tunnel, r3, anti-DCE harness, batched 2048-pt rfft):
+matmul 4555 Msps @ 137.9 dB vs XLA's TPU FFT 4440 Msps @ 131.2 dB
+(bench/tpu_sweep.py --suite fft) — after the Gauss 3-dot change the
+matmul path wins BOTH axes; "auto" stays on matmul.
 """
 
 from __future__ import annotations
