@@ -80,6 +80,6 @@ from llzlab_tpu.ops.compat import (  # noqa: F401
     butter, cheby1, cheby2, ellip, bessel, iirfilter, iirdesign,
     bilinear_zpk, zpk2tf, tf2zpk, zpk2sos, sos2tf, sos2zpk, normalize,
     lfiltic, deconvolve, freqs, convolve, oaconvolve, upfirdn,
-    envelope, unit_impulse, lombscargle, find_peaks,
+    analytic_envelope, unit_impulse, lombscargle, find_peaks,
 )
 from llzlab_tpu.pipeline import Chain  # noqa: F401

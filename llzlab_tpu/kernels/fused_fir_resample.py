@@ -49,6 +49,37 @@ from jax.experimental.pallas import tpu as pltpu
 
 from llzlab_tpu.kernels.block2_fir import (band_k, block2_pallas_tables,
                                            _w_matrix)
+
+
+@functools.lru_cache(maxsize=16)
+def _wide_band_tables_cached(taps_bytes: bytes, block: int, nw: int,
+                             mode: str):
+    """Banded-wide FIR tiles: ``nw`` adjacent 128-column output tiles per
+    dot.  The contraction window widens to kb + (nw−1)·128 rows (the
+    union of the nw shifted bands — +128/kb MACs per extra tile, ~11%
+    at nw=2 for the 1024-tap case) in exchange for half the dot
+    launches, 256-wide MXU N, and 256-column y stores."""
+    taps = np.frombuffer(taps_bytes, np.float64)
+    w = _w_matrix(taps, block)
+    kb = band_k(len(taps), block)
+    ms0 = block + 128 - kb
+    nt = block // 128
+    assert nt % nw == 0
+    ng = nt // nw
+    kbw = kb + (nw - 1) * 128
+    wt = np.zeros((ng, kbw, nw * 128), np.float64)
+    for g in range(ng):
+        rs = g * nw * 128 + ms0
+        re = min(rs + kbw, 2 * block)
+        wt[g, : re - rs] = w[rs:re, g * nw * 128 : (g + 1) * nw * 128]
+    with jax.ensure_compile_time_eval():
+        if mode == "highest":
+            return (jnp.asarray(wt.astype(np.float32)),)
+        hi = wt.astype(np.float32).astype(jnp.bfloat16)
+        lo = (wt - np.asarray(hi, np.float64)).astype(np.float32).astype(
+            jnp.bfloat16
+        )
+        return jnp.asarray(hi), jnp.asarray(lo)
 from llzlab_tpu.ops.fir import block2_block
 from llzlab_tpu.ops.resample import polyphase_weights, resample_output_len
 
@@ -137,13 +168,15 @@ def _wide_tables_cached(taps_bytes: bytes, block: int, mode: str):
 
 
 def fused_tables(fir_taps, rtaps, up: int, down: int, mode: str = "high",
-                 wide: bool = False):
+                 wide: bool = False, nw: int = 1):
     """Host-built weight tables: FIR banded tiles (or the dense wide
-    matrix) + resample bank."""
+    matrix, or nw-wide banded tiles) + resample bank."""
     fir_np = np.asarray(jax.device_get(fir_taps), np.float64)
     block = block2_block(len(fir_np))
     if wide:
         wt = _wide_tables_cached(fir_np.tobytes(), block, mode)
+    elif nw > 1:
+        wt = _wide_band_tables_cached(fir_np.tobytes(), block, nw, mode)
     else:
         wt = block2_pallas_tables(fir_taps, block, mode)
     rt = _rs_tables_cached(
@@ -268,6 +301,95 @@ def _kernel(block, kb, nt, nyb, up, down, k2, G, off, mode, gb, rs_batch,
                 )
 
 
+def _kernel_v4(block, kb, nt, nyb, up, down, k2, G, off, mode, rs_batch,
+               nw, tdim, xp_ref, xm_ref, xh_ref, *refs):
+    """Split-once dataflow (r4, VERDICT r3 next-round #1).
+
+    v3 built a (b, 2·block) operand per y-block by CONCATENATING two
+    x pieces and re-splitting the concatenation to bf16 hi/lo — ~4 VPU
+    passes + 2 copy passes per input lane, the measured 55% "VMEM/VPU
+    choreography" (docs/ROOFLINE.md).  But consecutive y-blocks read
+    CONTIGUOUS x: the concat only existed to stitch the left-context
+    boundary.  v4 materialises one contiguous [left-context | xm]
+    scratch, bf16-splits it ONCE per program (2 VPU passes total), and
+    every FIR dot reads an aligned static slice of the split scratch.
+    ``nw`` batches adjacent output tiles into one dot (N = nw·128) via
+    the banded-wide tables.
+    """
+    if mode == "high":
+        whi_ref, wlo_ref, rhi_ref, rlo_ref, o_ref = refs[:5]
+        y_ref, xs_hi, xs_lo = refs[5:8]
+        sl_ref = refs[8] if rs_batch > 1 else None
+    else:
+        w_ref, r_ref, o_ref = refs[:3]
+        y_ref, xs = refs[3:5]
+        sl_ref = refs[5] if rs_batch > 1 else None
+    b = xm_ref.shape[0]
+    i_t = pl.program_id(tdim)
+    ext = 2 * block
+    ms0 = block + 128 - kb
+    kbw = kb + (nw - 1) * 128
+
+    # ---- stage 0: one split pass over [left | xm] ----------------------
+    left = jnp.where(i_t == 0, xh_ref[:, :], xp_ref[:, :])
+    if mode == "high":
+        lh, ll = _bf16_split(left)
+        xs_hi[:, :ext] = lh
+        xs_lo[:, :ext] = ll
+        mh, ml = _bf16_split(xm_ref[:, :])
+        xs_hi[:, ext:] = mh
+        xs_lo[:, ext:] = ml
+    else:
+        xs[:, :ext] = left
+        xs[:, ext:] = xm_ref[:, :]
+
+    # ---- stage 1: banded FIR dots from aligned slices ------------------
+    for m in range(nyb):
+        for g in range(nt // nw):
+            a0 = m * block + g * nw * 128 + ms0
+            if mode == "high":
+                sh = xs_hi[:, a0 : a0 + kbw]
+                sl = xs_lo[:, a0 : a0 + kbw]
+                y = (_dot(sh, whi_ref[g]) + _dot(sl, whi_ref[g])
+                     + _dot(sh, wlo_ref[g]))
+            else:
+                y = _dot(xs[:, a0 : a0 + kbw], w_ref[g], highest=True)
+            col = m * block + g * nw * 128
+            y_ref[:, col : col + nw * 128] = y
+
+    # ---- stage 2: polyphase group matmul (same as v3) ------------------
+    k2p = (rhi_ref if mode == "high" else r_ref).shape[0]
+    nyb_cols = nyb * block
+    if off + (G - 1) * down + k2p > nyb_cols:
+        y_ref[:, nyb_cols:] = jnp.zeros(
+            (b, y_ref.shape[1] - nyb_cols), jnp.float32
+        )
+
+    def rs_dot(sl):
+        if mode == "high":
+            sh, slo = _bf16_split(sl)
+            return (_dot(sh, rhi_ref[:, :]) + _dot(slo, rhi_ref[:, :])
+                    + _dot(sh, rlo_ref[:, :]))
+        return _dot(sl, r_ref[:, :], highest=True)
+
+    if rs_batch <= 1:
+        for s in range(G):
+            a0 = off + s * down
+            z = rs_dot(y_ref[:, a0 : a0 + k2p])
+            o_ref[:, s * up : (s + 1) * up] = z[:, :up]
+    else:
+        for t in range(0, G, rs_batch):
+            gs = min(rs_batch, G - t)
+            for j in range(gs):
+                a0 = off + (t + j) * down
+                sl_ref[j * b : (j + 1) * b, :] = y_ref[:, a0 : a0 + k2p]
+            z = rs_dot(sl_ref[: gs * b, :])
+            for j in range(gs):
+                o_ref[:, (t + j) * up : (t + j + 1) * up] = (
+                    z[j * b : (j + 1) * b, :up]
+                )
+
+
 def _channel_tile(b: int, cap: int = 128) -> int:
     """Largest divisor of ``b`` that is ≤ cap and a multiple of 8 —
     the per-program channel tile (``b % 8 == 0`` by ``fused_supports``)."""
@@ -287,12 +409,12 @@ def _channel_tile(b: int, cap: int = 128) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("ntaps", "up", "down", "k", "mode", "interpret", "gb",
-                     "rs_batch", "wide", "p_mult"),
+                     "rs_batch", "wide", "p_mult", "impl", "nw"),
 )
 def _fused_pallas_jit(x, hist, tables, *, ntaps: int, up: int, down: int,
                       k: int, mode: str, interpret: bool, gb: int = 0,
                       rs_batch: int = 8, wide: bool = False,
-                      p_mult: int = 1):
+                      p_mult: int = 1, impl: str = "v3", nw: int = 1):
     block = block2_block(ntaps)
     b, t = x.shape
     p_in = fused_program_in(ntaps, up, down) * p_mult
@@ -341,11 +463,24 @@ def _fused_pallas_jit(x, hist, tables, *, ntaps: int, up: int, down: int,
         for w, m in zip(tables, wmaps)
     ]
     scratch = [pltpu.VMEM((cb, ys_len), jnp.float32)]
+    if impl == "v4":
+        xs_len = 2 * block + p_in
+        if mode == "high":
+            scratch += [pltpu.VMEM((cb, xs_len), jnp.bfloat16),
+                        pltpu.VMEM((cb, xs_len), jnp.bfloat16)]
+        else:
+            scratch += [pltpu.VMEM((cb, xs_len), jnp.float32)]
     if rs_batch > 1:
         scratch.append(pltpu.VMEM((rs_batch * cb, k2p), jnp.float32))
+    if impl == "v4":
+        kern = functools.partial(_kernel_v4, block, kb, nt, nyb, up, down,
+                                 k2, G, off, mode, rs_batch, nw, tdim)
+    else:
+        kern = functools.partial(_kernel, block, kb, nt, nyb, up, down,
+                                 k2, G, off, mode, gb, rs_batch, wide,
+                                 tdim)
     z = pl.pallas_call(
-        functools.partial(_kernel, block, kb, nt, nyb, up, down, k2, G,
-                          off, mode, gb, rs_batch, wide, tdim),
+        kern,
         grid=grid,
         in_specs=[
             # prev-tail: the 2·block of x preceding this program's window
@@ -384,6 +519,8 @@ def fused_fir_resample_pallas(
     rs_batch: int = 8,
     wide: bool = False,
     p_mult: int = 0,
+    impl: str = "v4",
+    nw: int = 1,
 ):
     """Fused FIR→resample on ``(..., T)`` → ``(..., T·up/down)``.
 
@@ -405,7 +542,10 @@ def fused_fir_resample_pallas(
     k = len(r_np) // up
     ntaps = len(fir_np)
     block = block2_block(ntaps)
-    tables = fused_tables(fir_np, r_np, up, down, mode, wide=wide)
+    if impl == "v4" and (wide or (block // 128) % max(nw, 1)):
+        impl, nw = "v3", 1  # wide is a v3-only variant; nw must tile nt
+    tables = fused_tables(fir_np, r_np, up, down, mode, wide=wide,
+                          nw=nw if impl == "v4" else 1)
 
     shape = x.shape
     t = shape[-1]
@@ -431,7 +571,7 @@ def fused_fir_resample_pallas(
     z = _fused_pallas_jit(
         xb, hist, tables, ntaps=ntaps, up=up, down=down, k=k, mode=mode,
         interpret=interpret, gb=gb, rs_batch=rs_batch, wide=wide,
-        p_mult=p_mult,
+        p_mult=p_mult, impl=impl, nw=nw,
     )
     n_out = resample_output_len(t, up, down)
     z = z[:, :n_out].reshape(shape[:-1] + (n_out,)).astype(x.dtype)

@@ -31,7 +31,7 @@ __all__ = [
     "normalize",
     "lfiltic", "deconvolve", "freqs",
     "convolve", "oaconvolve", "upfirdn",
-    "envelope", "unit_impulse", "lombscargle", "find_peaks",
+    "analytic_envelope", "unit_impulse", "lombscargle", "find_peaks",
     "buttord", "cheb1ord", "cheb2ord", "ellipord", "tf2sos",
 ]
 
@@ -328,8 +328,14 @@ def upfirdn(h, x, up=1, down=1):
 # analysis utilities
 # ---------------------------------------------------------------------------
 
-def envelope(x, n: Optional[int] = None):
-    """Analytic-signal amplitude envelope |hilbert(x)|."""
+def analytic_envelope(x, n: Optional[int] = None):
+    """Analytic-signal amplitude envelope ``|hilbert(x)|``.
+
+    NOT scipy.signal.envelope (which takes bp_in/n_out/residual and
+    returns a stacked (2, ...) envelope+residual array) — this helper
+    deliberately carries a non-scipy name so the scipy-compat surface
+    stays spelling-accurate (ADVICE r3).
+    """
     from llzlab_tpu.ops.analysis import hilbert
 
     return jnp.abs(hilbert(jnp.asarray(x), n))

@@ -50,6 +50,7 @@ __all__ = [
     "split_factors",
     "precision_scope",
     "matmul_precision",
+    "matmul_precision_name",
 ]
 
 
@@ -89,6 +90,35 @@ def _dft_tables(n: int) -> Tuple[np.ndarray, ...]:
 _PRECISION_OVERRIDE: Optional[str] = None
 
 
+def matmul_precision_name() -> str:
+    """Resolved precision NAME ("highest" | "high" | "default").
+
+    This is what the public transform wrappers pass into their jitted
+    helpers as a STATIC argument, so each precision gets its own trace —
+    reading :func:`matmul_precision` at trace time inside a jit whose
+    cache key ignores the override silently returns a stale-precision
+    trace (ADVICE r3, medium).
+    """
+    import os
+
+    name = (_PRECISION_OVERRIDE
+            or os.environ.get("LLZ_MATMUL_PRECISION", "highest")).lower()
+    if name not in ("highest", "high", "default"):
+        raise ValueError(
+            f"LLZ_MATMUL_PRECISION/precision_scope must be one of "
+            f"highest|high|default, got {name!r}"
+        )
+    return name
+
+
+def _prec_enum(name: str):
+    return {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }[name]
+
+
 def matmul_precision():
     """MXU precision for all signal-path matmuls.
 
@@ -101,16 +131,7 @@ def matmul_precision():
     their own accuracy budget (e.g. ``SpectralGainStage``) must not be
     silently degraded by a process-wide default.
     """
-    import os
-
-    name = _PRECISION_OVERRIDE or os.environ.get(
-        "LLZ_MATMUL_PRECISION", "highest"
-    ).lower()
-    return {
-        "highest": jax.lax.Precision.HIGHEST,
-        "high": jax.lax.Precision.HIGH,
-        "default": jax.lax.Precision.DEFAULT,
-    }[name]
+    return _prec_enum(matmul_precision_name())
 
 
 import contextlib
@@ -128,14 +149,14 @@ def precision_scope(name: Optional[str]):
         yield
         return
     prev = _PRECISION_OVERRIDE
-    _PRECISION_OVERRIDE = name
+    _PRECISION_OVERRIDE = name.lower()
     try:
         yield
     finally:
         _PRECISION_OVERRIDE = prev
 
 
-def _cmatmul(ar, ai, br, bi, eq: str):
+def _cmatmul(ar, ai, br, bi, eq: str, prec: str = None):
     """Complex matmul via THREE real einsums (Karatsuba/Gauss form:
     t = Ar·Br, u = Ai·Bi, v = (Ar+Ai)·(Br+Bi); re = t − u,
     im = v − t − u).  25% less MXU work than the naive 4-dot form; the
@@ -144,7 +165,7 @@ def _cmatmul(ar, ai, br, bi, eq: str):
     HIGHEST, same as 4-dot within 1 dB."""
     kw = dict(
         preferred_element_type=jnp.float32,
-        precision=matmul_precision(),
+        precision=_prec_enum(prec) if prec else matmul_precision(),
     )
     t = jnp.einsum(eq, ar, br, **kw)
     u = jnp.einsum(eq, ai, bi, **kw)
@@ -152,32 +173,34 @@ def _cmatmul(ar, ai, br, bi, eq: str):
     return t - u, v - t - u
 
 
-def _fft_matmul_core(xr: jnp.ndarray, xi: jnp.ndarray, n: int):
+def _fft_matmul_core(xr: jnp.ndarray, xi: jnp.ndarray, n: int,
+                     prec: str = None):
     """Four-step FFT on the last axis of (B, N) real/imag parts."""
     n1, n2 = split_factors(n)
     F1r, F1i, F2r, F2i, Twr, Twi = (jnp.asarray(t) for t in _dft_tables(n))
     mr = xr.reshape(-1, n1, n2)
     mi = xi.reshape(-1, n1, n2)
     # Stage 1: Y[c,b] = Σ_a F1[c,a] M[a,b]
-    yr, yi = _cmatmul(F1r, F1i, mr, mi, "ca,zab->zcb")
+    yr, yi = _cmatmul(F1r, F1i, mr, mi, "ca,zab->zcb", prec)
     # Twiddle: Z = Y ⊙ W_N^{bc}
     zr = yr * Twr - yi * Twi
     zi = yr * Twi + yi * Twr
     # Stage 2: X2[c,d] = Σ_b Z[c,b] F2[b,d]
-    x2r, x2i = _cmatmul(zr, zi, F2r, F2i, "zcb,bd->zcd")
+    x2r, x2i = _cmatmul(zr, zi, F2r, F2i, "zcb,bd->zcd", prec)
     # Output ordering X[N1·d + c] = X2[c,d] → transpose (c,d) → (d,c)
     outr = x2r.transpose(0, 2, 1).reshape(-1, n)
     outi = x2i.transpose(0, 2, 1).reshape(-1, n)
     return outr, outi
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def _fft_matmul_jit(xr, xi, n):
+@functools.partial(jax.jit, static_argnames=("n", "prec"))
+def _fft_matmul_jit(xr, xi, n, prec="highest"):
     shape = xr.shape
     outr, outi = _fft_matmul_core(
         xr.reshape(-1, n).astype(jnp.float32),
         xi.reshape(-1, n).astype(jnp.float32),
         n,
+        prec,
     )
     return outr.reshape(shape), outi.reshape(shape)
 
@@ -206,15 +229,118 @@ def fft_matmul(x: jnp.ndarray, n: Optional[int] = None) -> jnp.ndarray:
     else:
         xr = x.astype(jnp.float32)
         xi = jnp.zeros_like(xr)
-    outr, outi = _fft_matmul_jit(xr, xi, n)
+    outr, outi = _fft_matmul_jit(xr, xi, n, matmul_precision_name())
     return _jit_pack(outr, outi)
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def _rfft_matmul_jit(x, n):
-    """Real FFT of size n via one complex FFT of size n/2 + untangling.
+@functools.lru_cache(maxsize=64)
+def _rdft_tables(n: int, n1: Optional[int] = None) -> Tuple[np.ndarray, ...]:
+    """Host f64→f32 tables for the REAL-input four-step rfft.
 
-    Pack z[m] = x[2m] + j·x[2m+1]; then with Z = FFT_{n/2}(z) and
+    Index split j = a + N1·b (a < N1, b < N2) and k = c·N2 + d gives
+        X[c·N2 + d] = Σ_a W_{N1}^{ac} · W_N^{ad} · (Σ_b x[a+N1·b] W_{N2}^{bd})
+    so the inner stage is a REAL matmul (2 real dots), the twiddle is
+    (N1, N2), and the outer stage only needs rows c = 0..N1/2 — the
+    conjugate-symmetric half IS the rfft output, already in k order.
+    """
+    if n1 is None:
+        n1, n2 = split_factors(n)
+    else:
+        n2 = n // n1
+    nh = n1 // 2
+    b = np.arange(n2)
+    F2 = np.exp(-2j * np.pi * np.outer(b, b) / n2)
+    a = np.arange(n1)
+    Tw = np.exp(-2j * np.pi * np.outer(a, np.arange(n2)) / n)
+    F1h = np.exp(-2j * np.pi * np.outer(np.arange(nh + 1), a) / n1)
+    out = []
+    for m in (F2, Tw, F1h):
+        out += [m.real.astype(np.float32), m.imag.astype(np.float32)]
+    return tuple(out)
+
+
+def _rfft_real_core(xb: jnp.ndarray, n: int, prec: str,
+                    n1: Optional[int] = None):
+    """Real-input four-step rfft on (B, n) f32 rows → (B, n/2+1) pair.
+
+    No even/odd pack, no spectral mirror/untangle, no output transpose:
+    the input reshape (B, N2, N1) is the natural row-major view of
+    x[a + N1·b] with b as rows, bins come out as (c, d) ↦ k = c·N2+d
+    (a plain reshape), and conjugate symmetry halves the outer-stage
+    MACs instead of requiring a post-pass.  ~1.7× the MXU MACs of the
+    packed-half formulation but a small fraction of its data movement —
+    the packed path measured 4.5% of HBM / 3.8% of MXU (BENCH_r03), so
+    movement, not math, was the wall.
+
+    ``n1`` overrides the factor split: small n1 (e.g. 16) makes the
+    inner stage a full (128, 128) MXU contraction at the cost of a
+    tiny-K outer stage.
+    """
+    if n1 is None:
+        n1, n2 = split_factors(n)
+    else:
+        n2 = n // n1
+    nh = n1 // 2
+    C2, S2, Twr, Twi, F1r, F1i = (jnp.asarray(t)
+                                  for t in _rdft_tables(n, n1))
+    kw = dict(preferred_element_type=jnp.float32, precision=_prec_enum(prec))
+    Mt = xb.reshape(-1, n2, n1)             # Mt[z, b, a] = x[a + N1·b]
+    # Stage A (real input, 2 real dots): Y[a,d] = Σ_b M[a,b]·F2[b,d]
+    Yr = jnp.einsum("zba,bd->zad", Mt, C2, **kw)
+    Yi = jnp.einsum("zba,bd->zad", Mt, S2, **kw)
+    # Twiddle: Z[a,d] = Y[a,d] · W_N^{ad}
+    Zr = Yr * Twr - Yi * Twi
+    Zi = Yr * Twi + Yi * Twr
+    # Stage B (halved output): X[c,d] = Σ_a F1h[c,a]·Z[a,d], c = 0..N1/2
+    Xr, Xi = _cmatmul(F1r, F1i, Zr, Zi, "ca,zad->zcd", prec)
+    bsz = Xr.shape[0]
+    outr = jnp.concatenate(
+        [Xr[:, :nh, :].reshape(bsz, nh * n2), Xr[:, nh, :1]], axis=-1)
+    outi = jnp.concatenate(
+        [Xi[:, :nh, :].reshape(bsz, nh * n2), Xi[:, nh, :1]], axis=-1)
+    return outr, outi
+
+
+@functools.lru_cache(maxsize=32)
+def _rdft_dense_tables(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(n, n/2) cos/−sin tables for bins 1..n/2 (DC comes from a row
+    sum, so N is exactly n/2 — no 1025→1152 MXU lane padding)."""
+    j = np.arange(n)[:, None]
+    k = np.arange(1, n // 2 + 1)[None, :]
+    ang = -2.0 * np.pi * j * k / n
+    return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
+
+
+def _rfft_dense_core(xb: jnp.ndarray, n: int, prec: str):
+    """Dense rDFT: X[1..n/2] = x @ (C + jS), DC = Σx.
+
+    Spends ~12× the four-step's MACs to buy the MXU's favourite shape —
+    one (B, n) @ (n, n/2) real matmul pair, K = n, N = n/2, zero
+    intermediates, zero relayouts.  On TPU the four-step's stages are
+    K,N ∈ {32, 64} contractions that the MXU pads to 128×128 (≤1/16
+    tile efficiency), so the "wasteful" dense form can win — the same
+    measured trade as time-domain-vs-OLS FIR (docs/ROOFLINE.md).
+    """
+    Cr, Ci = (jnp.asarray(t) for t in _rdft_dense_tables(n))
+    kw = dict(preferred_element_type=jnp.float32, precision=_prec_enum(prec))
+    Xr = jnp.einsum("zj,jk->zk", xb, Cr, **kw)
+    Xi = jnp.einsum("zj,jk->zk", xb, Ci, **kw)
+    dc = jnp.sum(xb, axis=-1, keepdims=True)
+    outr = jnp.concatenate([dc, Xr], axis=-1)
+    outi = jnp.concatenate([jnp.zeros_like(dc), Xi], axis=-1)
+    return outr, outi
+
+
+@functools.partial(jax.jit, static_argnames=("n", "prec", "engine"))
+def _rfft_matmul_jit(x, n, prec="highest", engine="real"):
+    """Real FFT of size n.
+
+    engine="real": real-input four-step (see :func:`_rfft_real_core`) —
+    the measured TPU winner.  engine="pack": the classic half-size
+    complex FFT + conjugate-symmetric untangle, kept for measured
+    comparison (bench/tpu_sweep.py --suite fft).
+
+    Pack derivation: z[m] = x[2m] + j·x[2m+1]; with Z = FFT_{n/2}(z) and
     Zc[k] = conj(Z[(n/2-k) mod n/2]):
         E = (Z + Zc)/2,  O = -j·(Z − Zc)/2,
         X[k] = E[k] + W_n^k · O[k],  k = 0..n/2  (X[n/2] from wraparound).
@@ -222,9 +348,18 @@ def _rfft_matmul_jit(x, n):
     half = n // 2
     shape = x.shape
     xb = x.reshape(-1, n).astype(jnp.float32)
+    if engine in ("real", "real16", "dense"):
+        if engine == "dense":
+            outr, outi = _rfft_dense_core(xb, n, prec)
+        else:
+            n1 = 16 if (engine == "real16" and n % 16 == 0
+                        and n >= 256) else None
+            outr, outi = _rfft_real_core(xb, n, prec, n1)
+        out_shape = shape[:-1] + (half + 1,)
+        return outr.reshape(out_shape), outi.reshape(out_shape)
     zr = xb[:, 0::2]
     zi = xb[:, 1::2]
-    Zr, Zi = _fft_matmul_core(zr, zi, half)
+    Zr, Zi = _fft_matmul_core(zr, zi, half, prec)
     # Z[(-k) mod half]: bin 0 fixed, bins 1..half-1 reversed — expressed as
     # slice+reverse+concat (a constant permutation gather is catastrophically
     # slow on TPU; lax.rev is a plain relayout).
@@ -251,17 +386,18 @@ def _rfft_matmul_jit(x, n):
     return outr.reshape(out_shape), outi.reshape(out_shape)
 
 
-def rfft_matmul(x: jnp.ndarray, n: Optional[int] = None) -> jnp.ndarray:
+def rfft_matmul(x: jnp.ndarray, n: Optional[int] = None, *,
+                engine: str = "real") -> jnp.ndarray:
     if n is None:
         n = x.shape[-1]
     if x.shape[-1] != n:
         x = _pad_or_trim(x, n)
-    outr, outi = _rfft_matmul_jit(x, n)
+    outr, outi = _rfft_matmul_jit(x, n, matmul_precision_name(), engine)
     return _jit_pack(outr, outi)
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def _irfft_matmul_jit(specr, speci, n):
+@functools.partial(jax.jit, static_argnames=("n", "prec"))
+def _irfft_matmul_jit(specr, speci, n, prec="highest"):
     """Inverse real FFT of size n via one complex inverse FFT of size n/2.
 
     Reverses the packing of ``_rfft_matmul_jit``: rebuild
@@ -292,7 +428,7 @@ def _irfft_matmul_jit(specr, speci, n):
     Zr = Er - Oi_
     Zi = Ei + Or_
     # inverse complex FFT of size half: ifft(z) = conj(fft(conj(z)))/half
-    fr, fi = _fft_matmul_core(Zr, -Zi, half)
+    fr, fi = _fft_matmul_core(Zr, -Zi, half, prec)
     zr = fr / half
     zi = -fi / half
     out = jnp.stack([zr, zi], axis=-1).reshape(-1, n)
@@ -303,7 +439,7 @@ def irfft_matmul(spec: jnp.ndarray, n: Optional[int] = None) -> jnp.ndarray:
     if n is None:
         n = 2 * (spec.shape[-1] - 1)
     sr, si = _jit_split(spec)
-    return _irfft_matmul_jit(sr, si, n)
+    return _irfft_matmul_jit(sr, si, n, matmul_precision_name())
 
 
 def _pad_or_trim(x: jnp.ndarray, n: int) -> jnp.ndarray:

@@ -118,9 +118,15 @@ def collective_traffic(compiled_hlo_text: str) -> Dict[str, object]:
       ``source_target_pairs`` (each pair is one point-to-point send of
       the per-device shard).
     * ``all-gather`` / ``all-to-all`` / ``reduce-scatter`` /
-      ``all-reduce``: per-device payload bytes × participants per
-      replica group, summed over groups (the bytes entering the
+      ``all-reduce``: per-device PAYLOAD bytes × participants per
+      replica group, summed over groups (the bytes injected into the
       interconnect; algorithm-dependent retransmits not modelled).
+      The regex captures the op's RESULT shape, which is not the
+      payload for the resharding kinds (ADVICE r3): an all-gather's
+      result is already ``participants ×`` the per-device shard (so the
+      payload is result ÷ group size) and a reduce-scatter's operand is
+      ``participants ×`` its result (payload = result × group size);
+      all-to-all and all-reduce results equal their per-device payload.
 
     This is the ground-truth cross-check for analytic comm models
     (VERDICT r2 weak #6): the analytic halo model must agree with what
@@ -145,13 +151,19 @@ def collective_traffic(compiled_hlo_text: str) -> Dict[str, object]:
             total = per_dev * nsend
         else:
             groups = re.search(r"replica_groups=\{(.*?)\}\}", line)
-            if groups:
-                sizes = [len(g.split(","))
-                         for g in re.findall(r"\{([\d,]+)\}",
-                                             groups.group(1) + "}")]
-                total = per_dev * sum(sizes)
-            else:
-                total = per_dev
+            sizes = [len(g.split(","))
+                     for g in re.findall(r"\{([\d,]+)\}",
+                                         groups.group(1) + "}")] if groups \
+                else [1]
+            def payload(s, _k=kind, _b=per_dev):
+                if _k == "all-gather":
+                    return _b / max(s, 1)
+                if _k == "reduce-scatter":
+                    return _b * s
+                return _b
+
+            total = sum(payload(s) * s for s in sizes)
+            per_dev = payload(sizes[0])
         ops.append({"op": kind, "bytes": int(total),
                     "bytes_per_device": int(per_dev)})
     return {"total_bytes": int(sum(o["bytes"] for o in ops)), "ops": ops}

@@ -170,7 +170,7 @@ class TestUtilities:
         t = np.arange(4096) / 4096
         x = (np.sin(2 * np.pi * 100 * t) *
              (1 + 0.5 * np.sin(2 * np.pi * 3 * t))).astype(np.float32)
-        env = np.asarray(c.envelope(x))
+        env = np.asarray(c.analytic_envelope(x))
         ref = np.abs(ss.hilbert(x.astype(np.float64)))
         interior = slice(256, -256)
         assert np.abs(env[interior] - ref[interior]).max() < 1e-3

@@ -42,6 +42,48 @@ class TestParser:
         assert cp[0]["bytes_per_device"] == 4 * 5 * 4
         assert cp[0]["bytes"] == 4 * 5 * 4 * 7
 
+    def test_all_gather_payload_bytes(self):
+        """all-gather accounting (ADVICE r3): the HLO result shape is
+        already participants× the shard, so bytes must be shard ×
+        participants = result bytes — not result × participants."""
+        mesh = _mesh1d(8)
+
+        def f(x):
+            g = jax.lax.all_gather(x, "t", axis=0, tiled=True)
+            return x + g.sum()
+
+        sf = jax.jit(shard_map(f, mesh=mesh, in_specs=P("t", None),
+                               out_specs=P("t", None)))
+        x = jnp.zeros((8, 128), jnp.float32)
+        txt = sf.lower(x).compile().as_text()
+        ag = [o for o in collective_traffic(txt)["ops"]
+              if o["op"] == "all-gather"]
+        assert len(ag) == 1, txt
+        # per-device shard = (1, 128) f32 = 512 B; 8 participants
+        assert ag[0]["bytes_per_device"] == 128 * 4
+        assert ag[0]["bytes"] == 128 * 4 * 8
+
+    def test_reduce_scatter_payload_bytes(self):
+        """reduce-scatter: the result is 1/participants of the operand —
+        the per-device payload is the full operand (result × group)."""
+        mesh = _mesh1d(8)
+
+        def f(x):
+            return jax.lax.psum_scatter(x, "t", scatter_dimension=0,
+                                        tiled=True)
+
+        sf = jax.jit(shard_map(f, mesh=mesh, in_specs=P(None, None),
+                               out_specs=P("t", None)))
+        x = jnp.zeros((8, 128), jnp.float32)
+        txt = sf.lower(x).compile().as_text()
+        rs = [o for o in collective_traffic(txt)["ops"]
+              if o["op"] == "reduce-scatter"]
+        if not rs:  # XLA may lower psum_scatter to all-reduce+slice
+            pytest.skip("no reduce-scatter op emitted on this backend")
+        # result (1, 128) f32 = 512 B → payload = operand = 512 × 8
+        assert rs[0]["bytes_per_device"] == 128 * 4 * 8
+        assert rs[0]["bytes"] == 128 * 4 * 8 * 8
+
     def test_no_collectives_is_zero(self):
         f = jax.jit(lambda x: x * 2.0)
         txt = f.lower(jnp.zeros((8, 8))).compile().as_text()
