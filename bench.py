@@ -33,7 +33,11 @@ def main():
     p.add_argument("--channels", type=int, default=64)
     p.add_argument("--block", type=int, default=245760,
                    help="samples per channel per step (multiple of 15360)")
-    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--iters", type=int, default=200,
+                   help="on-device scan length; the tunnel costs a FIXED "
+                        "~25 ms per jitted call (measured r4, independent "
+                        "of scan length), so short scans underreport by "
+                        "25-60%% — 200 keeps the pollution under 2%%")
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--fir-method", default=None,
@@ -276,14 +280,20 @@ def main():
     errf = reff - sf
     fft_snr = 10 * np.log10(
         np.sum(np.abs(reff) ** 2) / np.sum(np.abs(errf) ** 2))
-    # Cost model: four-step matmul rFFT via the packed N/2 complex FFT
-    # (32×32 factors): ≈ N/2·(32+32) cMAC + O(N) twiddle/unpack ≈
-    # 8·(N/2·64 + 2·N)/N FLOP/sample; the engine runs f32 HIGHEST
-    # (6-pass bf16) per ops/transform.py.
-    fft_flops_per = 8.0 * ((nfft / 2) * 64 + 2 * nfft) / nfft
+    # Cost model per the AUTO-resolved engine (ops/transform.py r4):
+    # "dense" (high/default precision): one rDFT matmul pair, n MACs per
+    # sample; "real" (highest): real-input four-step, ≈163 MACs/sample
+    # at n=2048 (2·n2 inner + 3·(n1/2+1)·n1/n outer).
+    passes_f = {"high": 3, "highest": 6, "default": 1}[args.precision]
+    if args.precision in ("high", "default"):
+        fft_engine, fft_macs = "dense rDFT matmul", float(nfft)
+    else:
+        n1f, n2f = 64, 32
+        fft_engine = "real four-step matmul"
+        fft_macs = 2.0 * n2f + 3.0 * (n1f // 2 + 1) * n1f * n2f / nfft
     fft_roof = roofline_report(
         seconds=dt_f,
-        flops=C * nfr * nfft * fft_flops_per * 6,
+        flops=C * nfr * nfft * 2.0 * fft_macs * passes_f,
         bytes_moved=C * nfr * nfft * (4.0 + 8.0 * (nfft // 2 + 1) / nfft),
         device_kind=dev.device_kind,
     )
@@ -311,7 +321,7 @@ def main():
             "nfft": nfft,
             "msps_per_chip": round(fft_msps, 1),
             "snr_db": round(float(fft_snr), 1),
-            "engine": "matmul four-step" if jax.default_backend() in
+            "engine": fft_engine if jax.default_backend() in
                       ("tpu", "axon") else "xla",
             "mxu_fraction_bf16": round(fft_roof["mxu_fraction_bf16"], 4),
             "hbm_fraction": round(fft_roof["hbm_fraction"], 4),
@@ -333,7 +343,7 @@ def main():
 
         stamp("running five BASELINE config rows...")
         out["configs"] = run_all(
-            iters=max(3, args.iters // 4), channels5=args.channels5
+            iters=max(5, args.iters // 8), channels5=args.channels5
         )
         stamp("config rows done")
 

@@ -83,6 +83,26 @@ def main():
             s = s + jnp.sum(jnp.imag(out))
         return (s * 1e-30).astype(jnp.float32)
 
+    # The dev-box tunnel costs a FIXED ~25 ms per jitted call regardless
+    # of scan length (measured r4: n=10..640 all walls ≈25-27 ms for an
+    # empty scan).  Subtract it everywhere so every suite reports net
+    # device time (fusedopt pioneered this in r3; now global).
+    @jax.jit
+    def _empty_scan(v):
+        def body(c, _):
+            return c * 1.0000001 + v[0, 0], ()
+        c, _ = lax.scan(body, jnp.float32(0), None, length=8)
+        return c
+
+    _zb = jnp.zeros((8, 128), jnp.float32)
+    _empty_scan(_zb).block_until_ready()
+    _base = 1e9
+    for _ in range(3):
+        t1 = time.perf_counter()
+        np.asarray(_empty_scan(_zb))
+        _base = min(_base, time.perf_counter() - t1)
+    log(f"fixed dispatch base: {_base*1e3:.2f} ms/call (subtracted)")
+
     def timeit(fn, *fargs):
         # Anti-DCE/LICM: perturb the first arg with the carried
         # full-output probe — a real cross-iteration dependence, so XLA
@@ -99,7 +119,8 @@ def main():
         r = go(*fargs); r.block_until_ready()
         t1 = time.perf_counter()
         r = go(*fargs); r.block_until_ready()
-        return C * T * ITERS / (time.perf_counter() - t1) / 1e6
+        dt = max(time.perf_counter() - t1 - _base, 1e-9)
+        return C * T * ITERS / dt / 1e6
 
     def report(**rec):
         print(json.dumps(rec), flush=True)
@@ -228,6 +249,9 @@ def main():
                     "device_kind": kind,
                     "workload": "8-section peaking-EQ cascade, "
                                 f"{C}ch x {t3}",
+                    "channels": C,
+                    "block": t3,
+                    "net_of_dispatch_ms": round(_base * 1e3, 2),
                     "measured": iir_rows,
                 }, f, indent=1)
             log(f"calibration artifact written: {path}")
@@ -244,7 +268,8 @@ def main():
         r = go(*fargs); r.block_until_ready()
         t1 = time.perf_counter()
         r = go(*fargs); r.block_until_ready()
-        return samples * iters / (time.perf_counter() - t1) / 1e6
+        dt = max(time.perf_counter() - t1 - _base, 1e-9)
+        return samples * iters / dt / 1e6
 
     # ---- fir1ch: config-1 spec shape (VERDICT r2 missing #5) -------------
     # 1 channel × 10 s of 48 kHz audio, 1024-tap lowpass; the fold-into-M

@@ -49,6 +49,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from llzlab_tpu.kernels.block2_fir import (band_k, block2_pallas_tables,
                                            _w_matrix)
+from llzlab_tpu.ops.fir import block2_block
+from llzlab_tpu.ops.resample import polyphase_weights, resample_output_len
 
 
 @functools.lru_cache(maxsize=16)
@@ -80,8 +82,7 @@ def _wide_band_tables_cached(taps_bytes: bytes, block: int, nw: int,
             jnp.bfloat16
         )
         return jnp.asarray(hi), jnp.asarray(lo)
-from llzlab_tpu.ops.fir import block2_block
-from llzlab_tpu.ops.resample import polyphase_weights, resample_output_len
+
 
 __all__ = [
     "fused_fir_resample_pallas",
@@ -331,17 +332,23 @@ def _kernel_v4(block, kb, nt, nyb, up, down, k2, G, off, mode, rs_batch,
     kbw = kb + (nw - 1) * 128
 
     # ---- stage 0: one split pass over [left | xm] ----------------------
+    # Chunked at 2·block lanes so Mosaic schedules bounded vector values
+    # (a single (cb, P) split is a ~16 MB value at p_mult=3).
     left = jnp.where(i_t == 0, xh_ref[:, :], xp_ref[:, :])
+    p_lanes = xm_ref.shape[1]
     if mode == "high":
         lh, ll = _bf16_split(left)
         xs_hi[:, :ext] = lh
         xs_lo[:, :ext] = ll
-        mh, ml = _bf16_split(xm_ref[:, :])
-        xs_hi[:, ext:] = mh
-        xs_lo[:, ext:] = ml
+        for j0 in range(0, p_lanes, ext):
+            seg = xm_ref[:, j0 : j0 + ext]
+            mh, ml = _bf16_split(seg)
+            xs_hi[:, ext + j0 : 2 * ext + j0] = mh
+            xs_lo[:, ext + j0 : 2 * ext + j0] = ml
     else:
         xs[:, :ext] = left
-        xs[:, ext:] = xm_ref[:, :]
+        for j0 in range(0, p_lanes, ext):
+            xs[:, ext + j0 : 2 * ext + j0] = xm_ref[:, j0 : j0 + ext]
 
     # ---- stage 1: banded FIR dots from aligned slices ------------------
     for m in range(nyb):
@@ -519,7 +526,7 @@ def fused_fir_resample_pallas(
     rs_batch: int = 8,
     wide: bool = False,
     p_mult: int = 0,
-    impl: str = "v4",
+    impl: str = "v3",
     nw: int = 1,
 ):
     """Fused FIR→resample on ``(..., T)`` → ``(..., T·up/down)``.
@@ -557,13 +564,16 @@ def fused_fir_resample_pallas(
         hist = zi.reshape(b, 2 * block).astype(jnp.float32)
     if p_mult <= 0:
         # auto: the largest program multiple that divides T within the
-        # VMEM envelope (measured v5e: pm=3 fits at 64 ch, pm=4 does
-        # not; +4% from amortising per-program overheads)
+        # VMEM envelope (measured v5e: pm=3 fits at 64 ch for v3, pm=4
+        # does not; +4% from amortising per-program overheads).  v4 adds
+        # the split-once xs scratches (~4 B/lane), so its budget factor
+        # is 7.5 — pm=3 at 64 ch crashed the remote TPU compiler (VMEM).
         p0 = fused_program_in(ntaps, up, down)
         cb_est = _channel_tile(b)
+        budget = 7.5 if impl == "v4" else 6
         p_mult = 1
         for pm in (4, 3, 2):
-            if t % (p0 * pm) == 0 and cb_est * 4 * p0 * pm * 6 <= 100e6:
+            if t % (p0 * pm) == 0 and cb_est * 4 * p0 * pm * budget <= 100e6:
                 p_mult = pm
                 break
     # history travels as a separate kernel input — no concat(hist, x)

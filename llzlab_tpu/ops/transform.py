@@ -387,17 +387,53 @@ def _rfft_matmul_jit(x, n, prec="highest", engine="real"):
 
 
 def rfft_matmul(x: jnp.ndarray, n: Optional[int] = None, *,
-                engine: str = "real") -> jnp.ndarray:
+                engine: str = "auto") -> jnp.ndarray:
+    """rfft via MXU matmuls.  ``engine="auto"`` resolves by precision —
+    measured net Msps on v5e (2048-pt, 64ch batch, dispatch-subtracted,
+    bench/r4_probe.py r4): at "high" the dense rDFT wins (13043 @
+    98.9 dB vs real 11170 @ 94.9); at "highest" the real four-step wins
+    (10147 @ 139.4 vs dense 7269 — the 12× MAC cost bites once each
+    pass costs double).  The old packed-half engine measured 7885."""
     if n is None:
         n = x.shape[-1]
     if x.shape[-1] != n:
         x = _pad_or_trim(x, n)
-    outr, outi = _rfft_matmul_jit(x, n, matmul_precision_name(), engine)
+    prec = matmul_precision_name()
+    if engine == "auto":
+        engine = "dense" if prec in ("high", "default") else "real"
+    outr, outi = _rfft_matmul_jit(x, n, prec, engine)
     return _jit_pack(outr, outi)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "prec"))
-def _irfft_matmul_jit(specr, speci, n, prec="highest"):
+@functools.lru_cache(maxsize=32)
+def _irdft_dense_tables(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(n/2, n) inverse-rDFT tables over bins 1..n/2 (K exactly n/2).
+
+    Row k<n/2: 2·cos(2πjk/n)/n and −2·sin(2πjk/n)/n (the conjugate pair
+    folded in); row n/2 (Nyquist): (−1)^j/n with zero imaginary weight
+    (irfft ignores Im at Nyquist by convention).  DC is a VPU add.
+    """
+    j = np.arange(n)[None, :]
+    k = np.arange(1, n // 2 + 1)[:, None]
+    ang = 2.0 * np.pi * j * k / n
+    cr = 2.0 * np.cos(ang) / n
+    ci = -2.0 * np.sin(ang) / n
+    cr[-1, :] = np.where(np.arange(n) % 2 == 0, 1.0, -1.0) / n
+    ci[-1, :] = 0.0
+    return cr.astype(np.float32), ci.astype(np.float32)
+
+
+def _irfft_dense_core(sr: jnp.ndarray, si: jnp.ndarray, n: int, prec: str):
+    """Dense inverse rDFT on (B, n/2+1) spectrum rows → (B, n) f32."""
+    Cr, Ci = (jnp.asarray(t) for t in _irdft_dense_tables(n))
+    kw = dict(preferred_element_type=jnp.float32, precision=_prec_enum(prec))
+    x = (jnp.einsum("zk,kj->zj", sr[:, 1:], Cr, **kw)
+         + jnp.einsum("zk,kj->zj", si[:, 1:], Ci, **kw))
+    return x + sr[:, :1] / n
+
+
+@functools.partial(jax.jit, static_argnames=("n", "prec", "engine"))
+def _irfft_matmul_jit(specr, speci, n, prec="highest", engine="pack"):
     """Inverse real FFT of size n via one complex inverse FFT of size n/2.
 
     Reverses the packing of ``_rfft_matmul_jit``: rebuild
@@ -408,6 +444,9 @@ def _irfft_matmul_jit(specr, speci, n, prec="highest"):
     shape = specr.shape
     sr = specr.reshape(-1, half + 1).astype(jnp.float32)
     si = speci.reshape(-1, half + 1).astype(jnp.float32)
+    if engine == "dense":
+        out = _irfft_dense_core(sr, si, n, prec)
+        return out.reshape(shape[:-1] + (n,))
     Xr, Xi = sr[:, :half], si[:, :half]
     # Xc[k] = conj(X[n/2 - k]) for k = 0..n/2-1: bins n/2..1 reversed —
     # a pure lax.rev of bins 1..n/2 (no gather).
@@ -435,11 +474,18 @@ def _irfft_matmul_jit(specr, speci, n, prec="highest"):
     return out.reshape(shape[:-1] + (n,))
 
 
-def irfft_matmul(spec: jnp.ndarray, n: Optional[int] = None) -> jnp.ndarray:
+def irfft_matmul(spec: jnp.ndarray, n: Optional[int] = None, *,
+                 engine: str = "auto") -> jnp.ndarray:
+    """Inverse rfft via MXU matmuls.  ``engine="auto"``: dense inverse
+    rDFT at "high"/"default" precision, the packed-half four-step at
+    "highest" (mirrors :func:`rfft_matmul`'s measured ranking)."""
     if n is None:
         n = 2 * (spec.shape[-1] - 1)
+    prec = matmul_precision_name()
+    if engine == "auto":
+        engine = "dense" if prec in ("high", "default") else "pack"
     sr, si = _jit_split(spec)
-    return _irfft_matmul_jit(sr, si, n, matmul_precision_name())
+    return _irfft_matmul_jit(sr, si, n, prec, engine)
 
 
 def _pad_or_trim(x: jnp.ndarray, n: int) -> jnp.ndarray:

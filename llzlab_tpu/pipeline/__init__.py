@@ -6,6 +6,7 @@ from llzlab_tpu.pipeline.chain import (  # noqa: F401
     FIRStage,
     SOSStage,
     ResampleStage,
+    FusedFirResampleStage,
     SpectralGainStage,
     FFTStage,
     LambdaStage,

@@ -113,3 +113,36 @@ class TestCalibrationArtifact:
         m = load_engine_matrix("TPU v100")
         assert ("scan", "f32") in m  # fallback matrix
         load_engine_matrix.cache_clear()
+
+
+class TestCalibArtifactShape:
+    """VERDICT r3 weak #4: the calibration artifact must be measured at
+    the SAME workload shape the config-3 bench rows use — the artifact's
+    speed column ranks engines in sosfilt_auto, and a 2.6×-block-size
+    measurement ranked them on the wrong shape."""
+
+    CONFIG3_BLOCK = (2 * 48000 // 4096) * 4096  # bench/all_configs.py t3
+    CONFIG3_CHANNELS = 64
+
+    def test_packaged_artifacts_record_the_config_shape(self):
+        import glob
+        import json
+        import os
+
+        import llzlab_tpu
+
+        calib_dir = os.path.join(
+            os.path.dirname(llzlab_tpu.__file__), "calib")
+        arts = sorted(glob.glob(os.path.join(calib_dir, "*.json")))
+        assert arts, "no packaged calibration artifacts"
+        for path in arts:
+            with open(path) as f:
+                art = json.load(f)
+            # the workload string must be exactly what --write-calib
+            # measured (self-consistent with the recorded fields) …
+            assert art["workload"] == (
+                "8-section peaking-EQ cascade, "
+                f"{art['channels']}ch x {art['block']}"), path
+            # … and the shape must be the config-3 row's spec shape
+            assert art["block"] == self.CONFIG3_BLOCK, path
+            assert art["channels"] == self.CONFIG3_CHANNELS, path
