@@ -50,6 +50,12 @@ def main():
     p.add_argument("--fft-n", type=int, default=128)
     p.add_argument("--metrics", default=None,
                    help="append JSONL events to this path")
+    p.add_argument("--control", action="store_true",
+                   help="also measure the same TOTAL workload unsharded "
+                        "on one device at every mesh size — separates "
+                        "host-capacity saturation (virtual CPU devices "
+                        "share the physical cores) from real sharding "
+                        "overhead (comm + imbalance + sync)")
     args = p.parse_args()
 
     if args.backend == "cpu":
@@ -154,14 +160,38 @@ def main():
             "mesh": f"{n_channel}x{n_time}",
             "devices": nd,
             "msps_per_chip": round(msps_chip, 2),
+            "aggregate_msps": round(msps_chip * nd, 2),
             "weak_scaling_eff": round(eff, 4),
             "step_seconds": round(dt, 6),
             "comm_bytes_per_step": comm_bytes(n_channel, n_time, c_total),
             "comm_bytes_hlo": traffic["total_bytes"],
             "comm_ops_hlo": [
                 f"{o['op']}:{o['bytes']}" for o in traffic["ops"]],
+            "host_cores": os.cpu_count(),
             "config": cfg_hash,
         }
+        if args.control:
+            # Same TOTAL workload, unsharded, one device: what the HOST
+            # can actually do at this size.  On a virtual CPU mesh the
+            # "devices" share the physical cores, so per-device
+            # efficiency is bounded by host capacity regardless of the
+            # comm model; sharding_eff = sharded aggregate ÷ this is
+            # the honest sharding-overhead number.
+            xs = jnp.asarray(np.asarray(x))
+            st0 = chan.init_state(c_total)
+            stepc = jax.jit(chan.step)
+            sc, _ = stepc(xs, st0)
+            jax.block_until_ready(sc)
+            t0 = time.perf_counter()
+            stc = st0
+            for _ in range(args.iters):
+                sc, stc = stepc(xs, stc)
+            jax.block_until_ready(sc)
+            dtc = (time.perf_counter() - t0) / args.iters
+            ctrl = c_total * t_total / dtc / 1e6
+            rec["control_aggregate_msps"] = round(ctrl, 2)
+            rec["sharding_eff_vs_host"] = round(
+                rec["aggregate_msps"] / ctrl, 4)
         points.append(rec)
         log.event("weak_scaling", **rec)
         print(json.dumps(rec), flush=True)
