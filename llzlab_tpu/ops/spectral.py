@@ -84,6 +84,122 @@ def _stft_impl(x, *, n_fft, hop, window, method):
     return _fft.rfft(frames_, n_fft, method=method)
 
 
+@functools.lru_cache(maxsize=16)
+def _wdft_tables(n_fft: int, hop: int, window: str, inverse: bool):
+    """Window-folded dense rDFT tables for the frame-free shifted-matmul
+    STFT/iSTFT (f64 on host, rounded once).
+
+    Forward: W[q][p, k] = w[q·hop+p] · e^{−2πi(q·hop+p)k/n} — the
+    windowed DFT is just a modified weight matrix, so the per-frame
+    window multiply folds into the matmul at compile time.
+    Inverse: V[k][q, p] = scale_k · w[q·hop+p] · e^{+2πi(q·hop+p)k/n}
+    with scale = [1, 2, …, 2, 1]/n (conjugate pair folded; imaginary
+    rows at DC/Nyquist zeroed per irfft convention) — the synthesis
+    window folds the same way.
+    """
+    w = get_window(window, n_fft, periodic=True).astype(np.float64)
+    ratio = n_fft // hop
+    j = np.arange(n_fft)
+    k = np.arange(n_fft // 2 + 1)
+    if not inverse:
+        ang = -2.0 * np.pi * np.outer(j, k) / n_fft
+        cr = (np.cos(ang) * w[:, None]).astype(np.float32)
+        ci = (np.sin(ang) * w[:, None]).astype(np.float32)
+        nb = n_fft // 2 + 1
+        return (cr.reshape(ratio, hop, nb), ci.reshape(ratio, hop, nb))
+    scale = np.full(n_fft // 2 + 1, 2.0 / n_fft)
+    scale[0] = scale[-1] = 1.0 / n_fft
+    ang = 2.0 * np.pi * np.outer(k, j) / n_fft
+    vr = (np.cos(ang) * scale[:, None] * w[None, :]).astype(np.float32)
+    vi = (-np.sin(ang) * scale[:, None] * w[None, :]).astype(np.float32)
+    vi[0] = 0.0
+    vi[-1] = 0.0
+    nb = n_fft // 2 + 1
+    return (vr.reshape(nb, ratio, hop), vi.reshape(nb, ratio, hop))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_fft", "hop", "window", "prec")
+)
+def _windowed_rdft_jit(x, n_fft, hop, window, prec):
+    from llzlab_tpu.ops.transform import _prec_enum
+
+    cr, ci = (jnp.asarray(t) for t in _wdft_tables(n_fft, hop, window,
+                                                   False))
+    ratio = n_fft // hop
+    shape = x.shape
+    t = shape[-1]
+    nf = stft_num_frames(t, n_fft, hop)
+    nbh = nf - 1 + ratio
+    xb = x[..., : nbh * hop].reshape(-1, nbh, hop).astype(jnp.float32)
+    kw = dict(preferred_element_type=jnp.float32,
+              precision=_prec_enum(prec))
+    xr = xi = None
+    for q in range(ratio):
+        seg = xb[:, q : q + nf, :]
+        tr = jnp.einsum("zfp,pk->zfk", seg, cr[q], **kw)
+        ti = jnp.einsum("zfp,pk->zfk", seg, ci[q], **kw)
+        xr = tr if xr is None else xr + tr
+        xi = ti if xi is None else xi + ti
+    nb = n_fft // 2 + 1
+    out_shape = shape[:-1] + (nf, nb)
+    return xr.reshape(out_shape), xi.reshape(out_shape)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_fft", "hop", "window", "prec")
+)
+def _windowed_irdft_ola_jit(sr, si, n_fft, hop, window, prec):
+    from llzlab_tpu.ops.transform import _prec_enum
+
+    vr, vi = (jnp.asarray(t) for t in _wdft_tables(n_fft, hop, window,
+                                                   True))
+    ratio = n_fft // hop
+    shape = sr.shape
+    nf, nb = shape[-2], shape[-1]
+    srb = sr.reshape(-1, nf, nb).astype(jnp.float32)
+    sib = si.reshape(-1, nf, nb).astype(jnp.float32)
+    kw = dict(preferred_element_type=jnp.float32,
+              precision=_prec_enum(prec))
+    nbh = nf - 1 + ratio
+    acc = jnp.zeros((srb.shape[0], nbh, hop), jnp.float32)
+    for q in range(ratio):
+        z = (jnp.einsum("zfk,kp->zfp", srb, vr[:, q, :], **kw)
+             + jnp.einsum("zfk,kp->zfp", sib, vi[:, q, :], **kw))
+        acc = acc.at[:, q : q + nf, :].add(z)
+    return acc.reshape(shape[:-2] + (nbh * hop,))
+
+
+def windowed_rdft(x: jnp.ndarray, n_fft: int, hop: int,
+                  window: str = "hann",
+                  prec: Optional[str] = None) -> jnp.ndarray:
+    """``rfft(frame(x)·w)`` WITHOUT materialising frames: ``ratio``
+    shifted matmuls on the hop-block reshape, window folded into the
+    DFT tables (``frame`` expands the data 4× at 75% overlap and the
+    window costs an extra VPU pass over it — both gone here; the same
+    shifted-matmul trick as ops/fused_chain.py)."""
+    from llzlab_tpu.ops.transform import (_jit_pack,
+                                          matmul_precision_name)
+
+    xr, xi = _windowed_rdft_jit(
+        x, n_fft, hop, window, prec or matmul_precision_name())
+    return _jit_pack(xr, xi)
+
+
+def windowed_irdft_ola(spec: jnp.ndarray, n_fft: int, hop: int,
+                       window: str = "hann",
+                       prec: Optional[str] = None) -> jnp.ndarray:
+    """``overlap_add(irfft(spec)·w, hop)`` via ``ratio`` shifted matmuls
+    with the synthesis window folded into the inverse tables (no frame
+    materialisation; envelope normalisation is the caller's)."""
+    from llzlab_tpu.ops.transform import (_jit_split,
+                                          matmul_precision_name)
+
+    sr, si = _jit_split(spec)
+    return _windowed_irdft_ola_jit(
+        sr, si, n_fft, hop, window, prec or matmul_precision_name())
+
+
 def stft(
     x: jnp.ndarray,
     *,

@@ -244,6 +244,7 @@ class SpectralGainStage(Stage):
         window: str = "hann",
         method: str = "auto",
         precision: Optional[str] = "highest",
+        engine: str = "auto",
     ):
         self.gain = gain if callable(gain) else np.asarray(gain, np.float32)
         self.n_fft = n_fft
@@ -253,6 +254,14 @@ class SpectralGainStage(Stage):
         self.window = window
         self.method = method
         self.precision = precision
+        # "wdft": frame-free windowed shifted-matmul analysis/synthesis
+        # (window folded into the DFT tables, no 4x frame expansion —
+        # ops/spectral.windowed_rdft).  "reference": frame->rfft->irfft
+        # ->overlap_add.  "auto" = wdft for power-of-two n_fft.
+        if engine == "auto":
+            engine = ("wdft" if n_fft >= 16 and (n_fft & (n_fft - 1)) == 0
+                      and isinstance(window, str) else "reference")
+        self.engine = engine
         self.block_multiple = self.hop
         #: output samples lag input samples by this much (WOLA lookback)
         self.latency = self.n_fft - self.hop
@@ -289,23 +298,38 @@ class SpectralGainStage(Stage):
         ext = jnp.concatenate(
             [state["x_hist"], x.astype(jnp.float32)], axis=-1
         )
-        frames = _stft.frame(ext, self.n_fft, self.hop) * w
-        nf = frames.shape[-2]  # == t // hop
-        with precision_scope(self.precision):
-            spec = _fft.rfft(frames, self.n_fft, method=self.method)
-            if callable(self.gain):
-                spec = spec * self.gain(spec)
-            else:
-                spec = spec * jnp.asarray(self.gain)
-            synth = _fft.irfft(spec, self.n_fft, method=self.method) * w
+        nf = t // self.hop
         # Early stream blocks: ext leads with zero-pad frames (global
         # frame start < 0) that the one-shot run never sees — mask them.
         # Frame k starts at global input position pos + k·hop − ov.
         mask = (
             state["pos"] + jnp.arange(nf) * self.hop >= ov
         ).astype(jnp.float32)
-        synth = synth * mask[:, None]
-        buf = _stft.overlap_add(synth, self.hop)  # (..., ov + t)
+        if self.engine == "wdft":
+            with precision_scope(self.precision):
+                spec = _stft.windowed_rdft(
+                    ext, self.n_fft, self.hop, self.window,
+                    prec=self.precision)
+                if callable(self.gain):
+                    spec = spec * self.gain(spec)
+                else:
+                    spec = spec * jnp.asarray(self.gain)
+                # synthesis masking commutes with the linear inverse
+                buf = _stft.windowed_irdft_ola(
+                    spec * mask[:, None], self.n_fft, self.hop,
+                    self.window, prec=self.precision)
+        else:
+            frames = _stft.frame(ext, self.n_fft, self.hop) * w
+            with precision_scope(self.precision):
+                spec = _fft.rfft(frames, self.n_fft, method=self.method)
+                if callable(self.gain):
+                    spec = spec * self.gain(spec)
+                else:
+                    spec = spec * jnp.asarray(self.gain)
+                synth = _fft.irfft(spec, self.n_fft,
+                                   method=self.method) * w
+            synth = synth * mask[:, None]
+            buf = _stft.overlap_add(synth, self.hop)  # (..., ov + t)
         wsq = jnp.broadcast_to(w * w, (nf, self.n_fft)) * mask[:, None]
         env = _stft.overlap_add(wsq, self.hop)  # (ov + t,)
         buf = buf.at[..., :ov].add(state["ola"])

@@ -171,7 +171,11 @@ class TestSpectralGainStreaming:
         rng = np.random.default_rng(58)
         x = rng.standard_normal((3, 16384)).astype(np.float32)
         gain = np.linspace(1.0, 0.25, 1025).astype(np.float32)
-        stage = SpectralGainStage(gain)
+        # engine="reference" shares the exact rfft/irfft path with
+        # lz.stft/istft, so streamed == one-shot holds to ≥140 dB
+        # INCLUDING the startup envelope ramp (where 1/env amplifies any
+        # cross-engine rounding ~50 dB — see the wdft test below).
+        stage = SpectralGainStage(gain, engine="reference")
         ref = self._oneshot(x, gain)
         ys = self._stream(stage, x, 4096)
         ov = stage.latency
@@ -185,7 +189,7 @@ class TestSpectralGainStreaming:
         gain = np.linspace(0.5, 1.5, 1025).astype(np.float32)
         ref = self._oneshot(x, gain)
         for t_blk in (512, 2048, 8192):
-            stage = SpectralGainStage(gain)
+            stage = SpectralGainStage(gain, engine="reference")
             ys = self._stream(stage, x, t_blk)
             assert snr(ref, ys[:, stage.latency :]) >= 140.0, t_blk
 
@@ -193,10 +197,44 @@ class TestSpectralGainStreaming:
         rng = np.random.default_rng(60)
         x = rng.standard_normal((2, 8192)).astype(np.float32)
         fn = lambda spec: 1.0 / (1.0 + jnp.abs(spec) / 100.0)
-        stage = SpectralGainStage(fn)
+        stage = SpectralGainStage(fn, engine="reference")
         # callable gains are per-frame; frames are identical between the
         # streamed and one-shot runs, so the invariant still holds
         spec = lz.stft(x)
         ref = np.asarray(lz.istft(spec * fn(spec), length=x.shape[-1]))
         ys = self._stream(stage, x, 2048)
         assert snr(ref, ys[:, stage.latency :]) >= 140.0
+
+    # The wdft engine tests compare the INTERIOR [lat+n_fft, T−n_fft):
+    # at both stream edges the output divides by a near-zero window-
+    # square envelope (startup ramp / flush ramp-down), which amplifies
+    # ANY f32 engine/shape rounding difference ~40 dB (measured:
+    # interior 1e-6 abs, edges 2e-3 — an inherent property of WOLA
+    # normalisation, identical in shape for the reference engine).
+
+    def test_wdft_engine_streamed_equals_its_oneshot(self, snr):
+        """The TPU default engine ("wdft": frame-free windowed
+        shifted-matmul): streaming invariance vs the SAME engine's
+        one-block run (shape-dependent XLA reduction tiling makes this
+        ulp-level, not bitwise)."""
+        rng = np.random.default_rng(61)
+        x = rng.standard_normal((2, 16384)).astype(np.float32)
+        gain = np.linspace(1.0, 0.25, 1025).astype(np.float32)
+        lo, hi = (2048 - 512) + 2048, 16384 - 2048
+        stage = SpectralGainStage(gain, engine="wdft")
+        assert stage.engine == "wdft"
+        one = self._stream(stage, x, 16384)
+        for t_blk in (2048, 4096):
+            ys = self._stream(stage, x, t_blk)
+            assert snr(one[:, lo:hi], ys[:, lo:hi]) >= 120.0, t_blk
+
+    def test_wdft_matches_reference_interior(self, snr):
+        rng = np.random.default_rng(62)
+        x = rng.standard_normal((2, 16384)).astype(np.float32)
+        gain = np.linspace(1.0, 0.25, 1025).astype(np.float32)
+        ya = self._stream(SpectralGainStage(gain, engine="wdft"),
+                          x, 4096)
+        yb = self._stream(SpectralGainStage(gain, engine="reference"),
+                          x, 4096)
+        lo, hi = (2048 - 512) + 2048, 16384 - 2048
+        assert snr(yb[:, lo:hi], ya[:, lo:hi]) >= 120.0
