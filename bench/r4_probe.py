@@ -67,8 +67,9 @@ def main():
         print(json.dumps(rec), flush=True); log(json.dumps(rec))
 
     def net(fn, samples, *fargs):
-        dt = wall(fn, *fargs) - base
-        return round(samples * N / max(dt, 1e-9) / 1e6, 1)
+        w = wall(fn, *fargs)
+        dt = max(w - base, 0.05 * w)
+        return round(samples * N / dt / 1e6, 1)
 
     taps = lz.firwin(1024, 0.25, window="hamming")
     rtaps = lz.resample_taps(147, 160, 64)

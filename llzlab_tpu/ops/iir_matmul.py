@@ -271,11 +271,18 @@ def sosfilt_matmul(
     x: jnp.ndarray,
     *,
     zi: Optional[jnp.ndarray] = None,
-    block_size: int = 128,
+    block_size: int = 254,
     return_zf: bool = False,
     precision: Optional[str] = None,
 ):
     """MXU-matmul biquad cascade (drop-in for :func:`llzlab_tpu.sosfilt`).
+
+    Default ``block_size=254`` makes the per-section contraction
+    K = L+2 = 256 — an exact MXU tile.  Measured on v5e (64ch × 94208
+    net of dispatch, r4): L=254 → 5826 Msps @ high / 4242 @ highest vs
+    L=128's 3400 / 2970 (+71 % / +43 %): at L=128 the MXU pads K
+    130→256, so the L=254 MAC cost was already being paid with half the
+    tile wasted.  L ≥ 510 regresses (MACs/sample = L+2 keeps growing).
 
     Same state convention as sosfilt (``(..., ns, 2)`` in the per-section
     scan realization), so states interchange between engines.  Prefer this
