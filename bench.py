@@ -196,7 +196,11 @@ def main():
             def body(carry, _):
                 f, r, c = carry
                 z, f2, r2 = step(x, f + c, r)
-                c2 = (jnp.sum(z) * 1e-30).astype(jnp.float32)
+                # abs() makes the probe NONLINEAR in the signal: a plain
+                # sum is algebraically collapsible through linear XLA
+                # engines (sum∘matmul → matmul of column sums — observed
+                # r4: a dense-DFT row reported 1.3e8 Msps)
+                c2 = (jnp.sum(jnp.abs(z)) * 1e-30).astype(jnp.float32)
                 return (f2, r2, c2), ()
             (f, r, c), _ = lax.scan(
                 body, (fir0, rs0, jnp.float32(0)), None, length=n)
@@ -262,7 +266,8 @@ def main():
         # same anti-DCE/LICM structure as run_n
         def body(c, _):
             s = lz.rfft(v + c, nfft)
-            c2 = ((jnp.sum(jnp.real(s)) + jnp.sum(jnp.imag(s)))
+            c2 = ((jnp.sum(jnp.abs(jnp.real(s)))
+                   + jnp.sum(jnp.abs(jnp.imag(s))))
                   * 1e-30).astype(jnp.float32)
             return c2, ()
         c, _ = lax.scan(body, jnp.float32(0), None, length=args.iters)

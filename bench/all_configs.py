@@ -90,8 +90,11 @@ def run_all(iters: int = 10, seconds: float = 2.0, channels5: int = 1024):
             def body(carry, _):
                 c, eps = carry
                 out, c2 = step_fn(v + eps, c)
-                e2 = ((jnp.sum(jnp.real(out)) + (jnp.sum(jnp.imag(out))
-                       if jnp.iscomplexobj(out) else 0.0))
+                # abs() = nonlinear probe; a plain sum collapses through
+                # linear XLA engines (see bench/tpu_sweep.py r4 note)
+                e2 = ((jnp.sum(jnp.abs(jnp.real(out)))
+                       + (jnp.sum(jnp.abs(jnp.imag(out)))
+                          if jnp.iscomplexobj(out) else 0.0))
                       * 1e-30).astype(jnp.float32)
                 return (c2, e2), ()
             (c, eps), _ = lax.scan(

@@ -38,9 +38,11 @@ def main():
     x = jnp.asarray(x_np)
 
     def _probe(out):
-        s = jnp.sum(jnp.real(out))
+        # nonlinear abs-sum probe (see tpu_sweep.py: a plain sum is
+        # collapsible through linear XLA engines)
+        s = jnp.sum(jnp.abs(jnp.real(out)))
         if jnp.iscomplexobj(out):
-            s = s + jnp.sum(jnp.imag(out))
+            s = s + jnp.sum(jnp.abs(jnp.imag(out)))
         return (s * 1e-30).astype(jnp.float32)
 
     def wall(fn, *fargs):

@@ -77,10 +77,13 @@ def main():
     x = jnp.asarray(x_np)
 
     def _probe(out):
-        # full-output sum, scaled to underflow when fed back: anti-DCE
-        s = jnp.sum(jnp.real(out))
+        # full-output ABS sum, scaled to underflow when fed back:
+        # anti-DCE AND nonlinear — a plain sum is algebraically
+        # collapsible through linear XLA engines (sum∘matmul → matmul
+        # of column sums; observed r4: 1.3e8 Msps on a dense-DFT row)
+        s = jnp.sum(jnp.abs(jnp.real(out)))
         if jnp.iscomplexobj(out):
-            s = s + jnp.sum(jnp.imag(out))
+            s = s + jnp.sum(jnp.abs(jnp.imag(out)))
         return (s * 1e-30).astype(jnp.float32)
 
     # The dev-box tunnel costs a FIXED ~25 ms per jitted call regardless
@@ -467,6 +470,28 @@ def main():
             except Exception as e:
                 report(op="fft", engine=name, precision=prc,
                        error=str(e)[:160])
+
+        # inverse engines: time irfft(spec) on a precomputed spectrum
+        spec_dev = tr._jit_pack(*tr._rfft_matmul_jit(xf, nfft, "highest",
+                                                     "real"))
+        refi = np.fft.irfft(
+            np.asarray(np.fft.rfft(np.asarray(xf[:2], np.float64),
+                                   axis=-1)), nfft, axis=-1)
+        for prc in ("highest", "high"):
+            for eng in ("real", "dense", "pack"):
+                def ifn(v, _e=eng, _p=prc):
+                    sr, si = tr._jit_split(v)
+                    return tr._irfft_matmul_jit(sr, si, nfft, _p, _e)
+                try:
+                    y = np.asarray(ifn(spec_dev[:2]), np.float64)
+                    report(op="ifft", engine=eng, precision=prc,
+                           nfft=nfft,
+                           msps=round(timeit_n(ifn, samples, ITERS,
+                                               spec_dev), 1),
+                           snr=round(snr_db(refi, y), 1))
+                except Exception as e:
+                    report(op="ifft", engine=eng, precision=prc,
+                           error=str(e)[:160])
 
     log("done")
 

@@ -606,7 +606,8 @@ def _fir_filter_block2_pallas(x, taps_host, zi, *, block: int, mode: str,
 
 def _fir_filter_block2_pallas_folded(x, taps_host, zi, *, block: int,
                                      mode: str, return_zf: bool,
-                                     interpret: bool = False):
+                                     interpret: bool = False,
+                                     rows_cap: Optional[int] = None):
     """Low-channel block2 fast path: fold time-blocks into matmul rows.
 
     With batch < 8 channels the MXU's 128-row M dimension runs nearly
@@ -633,7 +634,8 @@ def _fir_filter_block2_pallas_folded(x, taps_host, zi, *, block: int,
 
     # Rows per channel: keep the fold's VMEM working set bounded
     # (M ≤ ~1024 rows at 2·block operand width ≈ 8 MB f32).
-    rows_cap = max(8, 1024 // b)
+    if rows_cap is None:
+        rows_cap = max(8, 1024 // b)
     l_blocks = -(-t // (block * rows_cap))
     l = l_blocks * block
     r = -(-t // l)

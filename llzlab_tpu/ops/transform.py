@@ -390,10 +390,11 @@ def rfft_matmul(x: jnp.ndarray, n: Optional[int] = None, *,
                 engine: str = "auto") -> jnp.ndarray:
     """rfft via MXU matmuls.  ``engine="auto"`` resolves by precision —
     measured net Msps on v5e (2048-pt, 64ch batch, dispatch-subtracted,
-    bench/r4_probe.py r4): at "high" the dense rDFT wins (13043 @
-    98.9 dB vs real 11170 @ 94.9); at "highest" the real four-step wins
-    (10147 @ 139.4 vs dense 7269 — the 12× MAC cost bites once each
-    pass costs double).  The old packed-half engine measured 7885."""
+    NONLINEAR abs-sum probe — r4): at "high" the dense rDFT wins
+    (13876 @ 98.9 dB vs real 9586 @ 94.9, pack 9034 @ 95.3); at
+    "highest" the real four-step wins (8963 @ 139.4 vs pack 8538 @
+    137.9, dense 7358 — the 12× MAC cost bites once each pass costs
+    double).  XLA's TPU FFT: 7403 @ 131.2."""
     if n is None:
         n = x.shape[-1]
     if x.shape[-1] != n:
@@ -403,6 +404,76 @@ def rfft_matmul(x: jnp.ndarray, n: Optional[int] = None, *,
         engine = "dense" if prec in ("high", "default") else "real"
     outr, outi = _rfft_matmul_jit(x, n, prec, engine)
     return _jit_pack(outr, outi)
+
+
+@functools.lru_cache(maxsize=64)
+def _irdft_real_tables(n: int) -> Tuple[np.ndarray, ...]:
+    """Tables for the REAL-OUTPUT four-step irfft (mirror of
+    :func:`_rfft_real_core`): F1f[a,c] = ω_{N1}^{+ac} (full N1), the
+    conjugate twiddle (N1, N2), and the final real stage
+    C2t/S2t[d,b] = cos/sin(2πbd/N2) with the 1/n scale folded in."""
+    n1, n2 = split_factors(n)
+    a = np.arange(n1)
+    F1f = np.exp(2j * np.pi * np.outer(a, a) / n1)
+    Tw = np.exp(2j * np.pi * np.outer(a, np.arange(n2)) / n)
+    d = np.arange(n2)
+    ang = 2.0 * np.pi * np.outer(d, d) / n2
+    return (F1f.real.astype(np.float32), F1f.imag.astype(np.float32),
+            Tw.real.astype(np.float32), Tw.imag.astype(np.float32),
+            (np.cos(ang) / n).astype(np.float32),
+            (np.sin(ang) / n).astype(np.float32))
+
+
+def _irfft_real_core(sr: jnp.ndarray, si: jnp.ndarray, n: int, prec: str):
+    """Real-output four-step irfft on (B, n/2+1) spectrum rows → (B, n).
+
+    Rebuilds the full (N1, N2) spectral grid from the stored half via
+    conjugate symmetry (k = c·N2 + d; for c > N1/2 the partner row is
+    N1−1−c with a d-mirror, except the d=0 column whose partner is row
+    N1−c), then inverts the four-step: G = F1f @ Xf (Gauss 3-dot),
+    conjugate twiddle, and a REAL final stage (only Re is computed — the
+    output is real by construction), emitted directly in the natural
+    x[a + N1·b] layout (einsum to "zba", a plain reshape away from x).
+    """
+    n1, n2 = split_factors(n)
+    nh = n1 // 2
+    F1r, F1i, Twr, Twi, C2t, S2t = (jnp.asarray(t)
+                                    for t in _irdft_real_tables(n))
+    bsz = sr.shape[0]
+    # stored bins 0..n/2−1 ARE rows 0..nh−1 of the (c, d) grid
+    top_r = sr[:, : nh * n2].reshape(bsz, nh, n2)
+    top_i = si[:, : nh * n2].reshape(bsz, nh, n2)
+    # row nh: lane 0 is the stored Nyquist bin; lanes d>0 are
+    # k = nh·n2+d > n/2 → conj(X[nh−1, n2−d]) (n−k lands on row nh−1)
+    rnh_r = jnp.concatenate(
+        [sr[:, nh * n2 :], jnp.flip(top_r[:, nh - 1, 1:], axis=-1)],
+        axis=-1)[:, None, :]
+    rnh_i = jnp.concatenate(
+        [si[:, nh * n2 :], -jnp.flip(top_i[:, nh - 1, 1:], axis=-1)],
+        axis=-1)[:, None, :]
+    # rows c = nh+1 .. n1−1:
+    #   d = 0:  conj(X[n1−c, 0])      → rows nh−1..1, lane 0
+    #   d > 0:  conj(X[n1−1−c, n2−d]) → rows nh−2..0, lanes mirrored
+    body_r = jnp.flip(top_r[:, 0 : nh - 1, :], axis=-2)
+    body_i = jnp.flip(top_i[:, 0 : nh - 1, :], axis=-2)
+    lane0_r = jnp.flip(top_r[:, 1:nh, 0:1], axis=-2)
+    lane0_i = jnp.flip(top_i[:, 1:nh, 0:1], axis=-2)
+    low_r = jnp.concatenate(
+        [lane0_r, jnp.flip(body_r[:, :, 1:], axis=-1)], axis=-1)
+    low_i = -jnp.concatenate(
+        [lane0_i, jnp.flip(body_i[:, :, 1:], axis=-1)], axis=-1)
+    Xr = jnp.concatenate([top_r, rnh_r, low_r], axis=-2)  # (B, n1, n2)
+    Xi = jnp.concatenate([top_i, rnh_i, low_i], axis=-2)
+    # G[a, d] = Σ_c F1f[a, c]·Xf[c, d]
+    Gr, Gi = _cmatmul(F1r, F1i, Xr, Xi, "ac,zcd->zad", prec)
+    # conjugate twiddle
+    Zr = Gr * Twr - Gi * Twi
+    Zi = Gr * Twi + Gi * Twr
+    # real final stage, emitted in natural x[a + N1·b] order
+    kw = dict(preferred_element_type=jnp.float32, precision=_prec_enum(prec))
+    out = (jnp.einsum("zad,db->zba", Zr, C2t, **kw)
+           - jnp.einsum("zad,db->zba", Zi, S2t, **kw))
+    return out.reshape(out.shape[0], n)
 
 
 @functools.lru_cache(maxsize=32)
@@ -447,6 +518,9 @@ def _irfft_matmul_jit(specr, speci, n, prec="highest", engine="pack"):
     if engine == "dense":
         out = _irfft_dense_core(sr, si, n, prec)
         return out.reshape(shape[:-1] + (n,))
+    if engine == "real":
+        out = _irfft_real_core(sr, si, n, prec)
+        return out.reshape(shape[:-1] + (n,))
     Xr, Xi = sr[:, :half], si[:, :half]
     # Xc[k] = conj(X[n/2 - k]) for k = 0..n/2-1: bins n/2..1 reversed —
     # a pure lax.rev of bins 1..n/2 (no gather).
@@ -476,14 +550,22 @@ def _irfft_matmul_jit(specr, speci, n, prec="highest", engine="pack"):
 
 def irfft_matmul(spec: jnp.ndarray, n: Optional[int] = None, *,
                  engine: str = "auto") -> jnp.ndarray:
-    """Inverse rfft via MXU matmuls.  ``engine="auto"``: dense inverse
-    rDFT at "high"/"default" precision, the packed-half four-step at
-    "highest" (mirrors :func:`rfft_matmul`'s measured ranking)."""
+    """Inverse rfft via MXU matmuls.
+
+    ``engine="auto"`` resolves to the packed-half four-step at EVERY
+    precision — unlike the forward direction, the pack form wins the
+    inverse: its expensive step (the forward's stride-2 input
+    de-interleave) becomes a cheap stack+reshape interleave on output.
+    Measured net Msps, v5e 2048-pt (r4, nonlinear abs-sum probe):
+    high  — pack 15117 @ 95.3 dB, dense 13020 @ 98.8, real 12291 @ 96.2;
+    highest — pack 14159 @ 135.2, real 11667 @ 136.6, dense 7172.
+    ``engine=`` accepts pack/dense/real explicitly (e.g. "dense" when a
+    chain's budget needs the extra ~3.5 dB at high precision)."""
     if n is None:
         n = 2 * (spec.shape[-1] - 1)
     prec = matmul_precision_name()
     if engine == "auto":
-        engine = "dense" if prec in ("high", "default") else "pack"
+        engine = "pack"
     sr, si = _jit_split(spec)
     return _irfft_matmul_jit(sr, si, n, prec, engine)
 
