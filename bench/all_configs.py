@@ -279,16 +279,38 @@ def run_all(iters: int = 10, seconds: float = 2.0, channels5: int = 1024):
     skip = stage.latency
     n4 = min(cut.shape[-1], ref4.shape[-1])
     snr4 = _snr(ref4[:, skip:n4], cut[:, skip:n4])
-    # Stage pins precision="highest" (6-pass): rfft real four-step
-    # ≈163 MACs per frame-sample + irfft packed-half ≈100, ×(n/hop)=4
-    # frame expansion per input sample; bytes floor counts the 4×
-    # frame-expanded r/w.
+    # wdft engine cost model: windowed dense rDFT in each direction —
+    # 2 real dots of K·N = n·(n/2+1) per frame per direction, one frame
+    # per hop new samples; the stage pins precision="highest" (6-pass).
+    # r4 finding: at this model the row is ~85-90% MXU-bound — the old
+    # four-step-based model undercounted the dense engine 75×.
+    wdft_macs = 2.0 * 2.0 * 2048 * 1025 / 512  # fwd+inv per input sample
     report("stft_gain_256ch", 256 * t4 / dt / 1e6, snr4,
-           engine="SpectralGainStage(streaming)",
+           engine="SpectralGainStage(wdft,highest)",
            golden="f64 WOLA, all samples past the startup envelope "
                   "ramp (mid-stream block boundaries included)",
-           flops_per_sample=2.0 * (163 + 100) * 4 * 6,
-           bytes_per_sample=8.0 * 4, dt=dt, samples=256 * t4)
+           flops_per_sample=2.0 * wdft_macs * 6,
+           bytes_per_sample=8.0, dt=dt, samples=256 * t4)
+
+    # Same workload at precision="high" (3-pass): the throughput tier
+    # when the chain's budget does not need the 6-pass SNR margin.
+    stage_h = SpectralGainStage(gain_np.astype(np.float32),
+                                precision="high")
+    dt = run_scanned(stft_step_h := (lambda v, st: stage_h.apply(v, st)),
+                     stage_h.init_state((256,)), jnp.asarray(x4), iters)
+    st = stage_h.init_state((2,))
+    ys = []
+    for blk in (x4[:2, :half], x4[:2, half:]):
+        yb, st = stage_h.apply(jnp.asarray(blk), st)
+        ys.append(np.asarray(yb))
+    ys.append(np.asarray(stage_h.flush(st)))
+    ys = np.concatenate(ys, axis=-1)
+    cut = ys[:, stage_h.latency :]
+    snr4h = _snr(ref4[:, skip:n4], cut[:, skip:n4])
+    report("stft_gain_256ch_high", 256 * t4 / dt / 1e6, snr4h,
+           engine="SpectralGainStage(wdft,high)",
+           flops_per_sample=2.0 * wdft_macs * 3,
+           bytes_per_sample=8.0, dt=dt, samples=256 * t4)
 
     # ---- config 5: channelizer chain at the spec channel count ----------
     # (single chip; the sharded variant is exercised by

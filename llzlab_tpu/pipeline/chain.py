@@ -257,9 +257,15 @@ class SpectralGainStage(Stage):
         # "wdft": frame-free windowed shifted-matmul analysis/synthesis
         # (window folded into the DFT tables, no 4x frame expansion —
         # ops/spectral.windowed_rdft).  "reference": frame->rfft->irfft
-        # ->overlap_add.  "auto" = wdft for power-of-two n_fft.
+        # ->overlap_add.  "auto" = wdft on TPU for power-of-two n_fft
+        # (measured +48%/+116% — docs/ROOFLINE.md); reference on CPU
+        # (pocketfft beats dense matmuls there).
         if engine == "auto":
-            engine = ("wdft" if n_fft >= 16 and (n_fft & (n_fft - 1)) == 0
+            import jax as _jax
+
+            on_tpu = _jax.default_backend() in ("tpu", "axon")
+            engine = ("wdft" if on_tpu and n_fft >= 16
+                      and (n_fft & (n_fft - 1)) == 0
                       and isinstance(window, str) else "reference")
         self.engine = engine
         self.block_multiple = self.hop
