@@ -75,8 +75,25 @@ def overlap_add(frames: jnp.ndarray, hop: int) -> jnp.ndarray:
     return acc.reshape(lead + (nbh * hop,))
 
 
-@functools.partial(jax.jit, static_argnames=("n_fft", "hop", "window", "method"))
-def _stft_impl(x, *, n_fft, hop, window, method):
+def _use_wdft(n_fft: int, window, method: str) -> bool:
+    """auto-resolve: the frame-free windowed shifted-matmul engine on
+    TPU for power-of-two sizes (measured +48-116% on the streaming
+    stage — docs/ROOFLINE.md); the framed reference path elsewhere."""
+    return (method in ("auto", "wdft")
+            and (method == "wdft"
+                 or jax.default_backend() in ("tpu", "axon"))
+            and n_fft >= 16 and (n_fft & (n_fft - 1)) == 0
+            and isinstance(window, str))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_fft", "hop", "window", "method", "prec"),
+)
+def _stft_impl(x, *, n_fft, hop, window, method, prec=None):
+    if _use_wdft(n_fft, window, method):
+        return windowed_rdft(x.astype(jnp.float32), n_fft, hop, window,
+                             prec=prec)
     w = jnp.asarray(
         get_window(window, n_fft, periodic=True).astype(np.float32)
     )
@@ -215,18 +232,25 @@ def stft(
     75% overlap (hop 512), periodic Hann — the BASELINE.json:10 config.
     """
     hop = hop or n_fft // 4
-    return _stft_impl(x, n_fft=n_fft, hop=hop, window=window, method=method)
+    from llzlab_tpu.ops.transform import matmul_precision_name
+
+    return _stft_impl(x, n_fft=n_fft, hop=hop, window=window,
+                      method=method, prec=matmul_precision_name())
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_fft", "hop", "window", "method", "length")
+    jax.jit,
+    static_argnames=("n_fft", "hop", "window", "method", "length", "prec"),
 )
-def _istft_impl(spec, *, n_fft, hop, window, method, length):
+def _istft_impl(spec, *, n_fft, hop, window, method, length, prec=None):
     w = jnp.asarray(
         get_window(window, n_fft, periodic=True).astype(np.float32)
     )
-    frames_ = _fft.irfft(spec, n_fft, method=method) * w
-    y = overlap_add(frames_, hop)
+    if _use_wdft(n_fft, window, method):
+        y = windowed_irdft_ola(spec, n_fft, hop, window, prec=prec)
+    else:
+        frames_ = _fft.irfft(spec, n_fft, method=method) * w
+        y = overlap_add(frames_, hop)
     nf = spec.shape[-2]
     # Window-square envelope (same OLA); constant = COLA sum in the interior.
     wsq = jnp.broadcast_to(w * w, (nf, n_fft))
@@ -253,6 +277,9 @@ def istft(
     divided out by the envelope.
     """
     hop = hop or n_fft // 4
+    from llzlab_tpu.ops.transform import matmul_precision_name
+
     return _istft_impl(
-        spec, n_fft=n_fft, hop=hop, window=window, method=method, length=length
+        spec, n_fft=n_fft, hop=hop, window=window, method=method,
+        length=length, prec=matmul_precision_name()
     )
