@@ -85,28 +85,41 @@ def run_all(iters: int = 10, seconds: float = 2.0, channels5: int = 1024):
         (the old ``z[0, -1]`` probe let it).  ``fetch`` is kept for
         signature compatibility and ignored.
         """
-        @jax.jit
-        def go(v, st):
-            def body(carry, _):
-                c, eps = carry
-                out, c2 = step_fn(v + eps, c)
-                # abs() = nonlinear probe; a plain sum collapses through
-                # linear XLA engines (see bench/tpu_sweep.py r4 note)
-                e2 = ((jnp.sum(jnp.abs(jnp.real(out)))
-                       + (jnp.sum(jnp.abs(jnp.imag(out)))
-                          if jnp.iscomplexobj(out) else 0.0))
-                      * 1e-30).astype(jnp.float32)
-                return (c2, e2), ()
-            (c, eps), _ = lax.scan(
-                body, (st, jnp.float32(0)), None, length=n)
-            return eps
+        def _make_go(length):
+            @jax.jit
+            def go(v, st):
+                def body(carry, _):
+                    c, eps = carry
+                    out, c2 = step_fn(v + eps, c)
+                    # abs() = nonlinear probe; a plain sum collapses
+                    # through linear XLA engines (tpu_sweep.py r4 note)
+                    e2 = ((jnp.sum(jnp.abs(jnp.real(out)))
+                           + (jnp.sum(jnp.abs(jnp.imag(out)))
+                              if jnp.iscomplexobj(out) else 0.0))
+                          * 1e-30).astype(jnp.float32)
+                    return (c2, e2), ()
+                (c, eps), _ = lax.scan(
+                    body, (st, jnp.float32(0)), None, length=length)
+                return eps
+            return go
 
-        _ = np.asarray(go(x, state0))
-        best = 1e9
-        for _i in range(2):
-            t0 = time.perf_counter()
+        # Adaptive scan length: at light per-step workloads the scan
+        # wall is comparable to the ~25 ms dispatch base and the
+        # subtraction is noise-dominated (r4: one row swung 23→92 Gsps
+        # between runs).  Grow n until the wall is ≥ 6× the base.
+        go = _make_go(n)
+        for _r in range(6):
             _ = np.asarray(go(x, state0))
-            best = min(best, time.perf_counter() - t0)
+            best = 1e9
+            for _i in range(2):
+                t0 = time.perf_counter()
+                _ = np.asarray(go(x, state0))
+                best = min(best, time.perf_counter() - t0)
+            if best >= 6.0 * _base or n >= 100000:
+                break
+            scale = min(16, max(2, int(6.0 * _base / max(best, 1e-9)) + 1))
+            n *= scale
+            go = _make_go(n)
         return max(best - _base, 0.05 * best) / n
 
     # bf16 pass multiplier for the MXU roofline models below
@@ -270,17 +283,17 @@ def run_all(iters: int = 10, seconds: float = 2.0, channels5: int = 1024):
     ys = np.concatenate(ys, axis=-1)
     ref4 = wola_gain_f64(xs)
     cut = ys[:, stage.latency :]
-    # Skip the startup envelope ramp: `latency` zeros plus the one-shot
-    # reference's own first n_fft−hop samples, where the WOLA output
-    # divides by a near-zero window-square envelope and amplifies
-    # engine rounding ~40 dB in ANY implementation (r4: the 3-pass
-    # engine measured 67 dB with the ramp included vs ~95+ past it —
-    # the ramp is an artifact of 1/env, not a streaming defect).
-    # Every mid-stream block boundary — the thing VERDICT r2 demanded
-    # evidence for — stays in the window (the streamed run splits at
-    # t4/2).
+    # Skip BOTH envelope ramps: at the stream's start AND at the flush
+    # tail the WOLA output divides by a near-zero window-square
+    # envelope, which amplifies engine rounding ~40-60 dB in ANY
+    # implementation (r4 measured error profile: 0.07 abs spikes in the
+    # first/last n_fft-ish samples vs 8e-5 interior, IDENTICAL for the
+    # wdft and reference engines — an artifact of 1/env, not a
+    # streaming defect).  Every mid-stream block boundary — the thing
+    # VERDICT r2 demanded evidence for — stays in the window (the
+    # streamed run splits at t4/2).
     skip = stage.latency + (stage.n_fft - stage.hop)
-    n4 = min(cut.shape[-1], ref4.shape[-1])
+    n4 = min(cut.shape[-1], ref4.shape[-1]) - 2 * stage.n_fft
     snr4 = _snr(ref4[:, skip:n4], cut[:, skip:n4])
     # wdft engine cost model: windowed dense rDFT in each direction —
     # 2 real dots of K·N = n·(n/2+1) per frame per direction, one frame

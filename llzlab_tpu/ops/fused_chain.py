@@ -110,8 +110,8 @@ def fir_resample_engine(channels: int, fir_taps_len: int, up: int,
     """Resolve the "auto" engine choice for :func:`fir_resample`.
 
     Returns "pallas" on TPU when the fused Pallas kernel's shape envelope
-    accepts the call (the measured winner: 6247 vs 1947 Msps for the XLA
-    composite at 64ch × 245760 on v5e, BENCH_r02), else "composite".
+    accepts the call (the measured winner: 14.7 vs 8.6 Gsps for the unfused
+    XLA chain at 64ch × 245760 on v5e, net of dispatch — r4), else "composite".
     """
     g = math.gcd(up, down)
     up_r, down_r = up // g, down // g

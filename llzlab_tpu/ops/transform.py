@@ -23,10 +23,11 @@ computed in float64 on host and rounded once (SURVEY.md §7 hard part 2).
 on CPU test meshes).  ``method="auto"`` picks matmul on TPU for supported
 sizes.
 
-Measured (v5e via tunnel, r3, anti-DCE harness, batched 2048-pt rfft):
-matmul 4555 Msps @ 137.9 dB vs XLA's TPU FFT 4440 Msps @ 131.2 dB
-(bench/tpu_sweep.py --suite fft) — after the Gauss 3-dot change the
-matmul path wins BOTH axes; "auto" stays on matmul.
+Measured (v5e, r4, net-of-dispatch NONLINEAR-probe harness, batched
+2048-pt — bench/tpu_sweep.py --suite fft): rfft auto = dense rDFT
+13876 Msps @ 98.9 dB at precision=high, real four-step 8963 @ 139.4 at
+highest; irfft auto = packed-half 15117 @ 95.3 / 14159 @ 135.2.
+XLA's TPU FFT: 7403 @ 131.2 — the matmul engines win every cell.
 """
 
 from __future__ import annotations
