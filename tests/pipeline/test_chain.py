@@ -103,6 +103,31 @@ class TestChainBasics:
         assert st.block_multiple == fused_program_in(1024, 147, 160)
         assert st._state_len == fused_state_len(1024)
 
+    def test_fused_stage_pallas_streaming_interpret(self, snr):
+        """The Pallas engine path THROUGH the stage (interpret mode on
+        the CPU mesh): streamed == one-shot bit-for-bit (the kernel's
+        grid math is shape-deterministic), output matches scipy f64."""
+        taps = lz.firwin(256, 0.4)
+        rtaps = lz.resample_taps(3, 4, 8)
+        st = FusedFirResampleStage(taps, 3, 4, rtaps=rtaps,
+                                   engine="pallas", channels=8)
+        chain = Chain([st])
+        m = chain.block_multiple
+        rng = np.random.default_rng(55)
+        nblk = 2
+        x = rng.standard_normal((8, m * nblk)).astype(np.float32)
+        y_full = np.asarray(chain(x))
+        state = chain.init_state(x.shape[:-1], x.dtype)
+        outs = []
+        for i in range(nblk):
+            y, state = chain.apply(x[:, i * m : (i + 1) * m], state)
+            outs.append(np.asarray(y))
+        y_stream = np.concatenate(outs, axis=-1)
+        np.testing.assert_array_equal(y_stream, y_full)
+        ref_f = ss.lfilter(taps, [1.0], x.astype(np.float64), axis=-1)
+        ref = ss.upfirdn(rtaps, ref_f, 3, 4, axis=-1)
+        assert snr(ref[:, : y_full.shape[-1]], y_full) >= 90.0
+
     def test_sos_stage_streaming(self):
         sos = lz.peaking_eq_sos([200, 2000], [4, -3], 48000.0)
         chain = Chain([SOSStage(sos, block_size=2048)])
