@@ -232,17 +232,17 @@ def main():
     log(f"serial scipy reference: {ref_msps:.1f} Msamples/s")
 
     # --- roofline: achieved vs chip peaks (VERDICT r1 item 1) --------------
-    # MXU FLOPs per input sample for the block2(+resample) formulation:
-    # FIR contraction is the banded 1152-lane window (2·kb MACs/output at
-    # 1024 taps), resample is the padded (down+K−1→256)-lane group matmul
-    # ((147/160)·2·256 MACs/input).  bf16 pass multiplier: high = 3-pass,
-    # highest = 6-pass, default = 1-pass.
+    # FLOP models live in bench/cost_models.py (single cross-checked
+    # source — tests/bench/test_cost_models.py, VERDICT r4 #3).
     from llzlab_tpu.utils.profiling import roofline_report
-    from llzlab_tpu.kernels.block2_fir import band_k
+    from bench import cost_models as cm
 
-    passes = {"high": 3, "highest": 6, "default": 1}[args.precision]
-    kb = band_k(1024, 1024)
-    flops_per_in = 2.0 * kb + (147.0 / 160.0) * 2.0 * 256
+    passes = cm.passes(args.precision)
+    if fir_method == "fused_pallas":
+        flops_per_in = cm.fused_chain_flops_per_sample(1024, 147, 160, k)
+    else:
+        flops_per_in = (cm.fir_block2_flops_per_sample(1024)
+                        + cm.resample_flops_per_sample(147, 160, k))
     bytes_per_in = 4.0 * (1.0 + 147.0 / 160.0)  # one f32 read + one write
     roof = roofline_report(
         seconds=dt / args.iters,
@@ -285,20 +285,16 @@ def main():
     errf = reff - sf
     fft_snr = 10 * np.log10(
         np.sum(np.abs(reff) ** 2) / np.sum(np.abs(errf) ** 2))
-    # Cost model per the AUTO-resolved engine (ops/transform.py r4):
-    # "dense" (high/default precision): one rDFT matmul pair, n MACs per
-    # sample; "real" (highest): real-input four-step, ≈163 MACs/sample
-    # at n=2048 (2·n2 inner + 3·(n1/2+1)·n1/n outer).
-    passes_f = {"high": 3, "highest": 6, "default": 1}[args.precision]
-    if args.precision in ("high", "default"):
-        fft_engine, fft_macs = "dense rDFT matmul", float(nfft)
-    else:
-        n1f, n2f = 64, 32
-        fft_engine = "real four-step matmul"
-        fft_macs = 2.0 * n2f + 3.0 * (n1f // 2 + 1) * n1f * n2f / nfft
+    # Cost model per the AUTO-resolved engine (bench/cost_models.py):
+    # "dense" rDFT at high/default, real-input four-step at highest.
+    passes_f = cm.passes(args.precision)
+    fft_engine = ("dense rDFT matmul"
+                  if args.precision in ("high", "default")
+                  else "real four-step matmul")
     fft_roof = roofline_report(
         seconds=dt_f,
-        flops=C * nfr * nfft * 2.0 * fft_macs * passes_f,
+        flops=C * nfr * nfft
+        * cm.rfft_flops_per_sample(nfft, args.precision) * passes_f,
         bytes_moved=C * nfr * nfft * (4.0 + 8.0 * (nfft // 2 + 1) / nfft),
         device_kind=dev.device_kind,
     )

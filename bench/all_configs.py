@@ -122,9 +122,13 @@ def run_all(iters: int = 10, seconds: float = 2.0, channels5: int = 1024):
             go = _make_go(n)
         return max(best - _base, 0.05 * best) / n
 
-    # bf16 pass multiplier for the MXU roofline models below
-    _passes = {"highest": 6, "high": 3, "default": 1}[
-        os.environ.get("LLZ_MATMUL_PRECISION", "highest").lower()]
+    # Shared roofline cost models (bench/cost_models.py) — the
+    # cross-checked single source (tests/bench/test_cost_models.py
+    # asserts them against XLA's compiled cost_analysis).
+    from bench import cost_models as cm
+
+    _prec = os.environ.get("LLZ_MATMUL_PRECISION", "highest").lower()
+    _passes = cm.passes(_prec)
 
     def report(name, msps, snr_db, flops_per_sample=None,
                bytes_per_sample=None, dt=None, samples=None, **extra):
@@ -166,12 +170,9 @@ def run_all(iters: int = 10, seconds: float = 2.0, channels5: int = 1024):
     y = np.asarray(lz.fir_filter(x1, taps, method=m1))
     ref = ss.lfilter(taps, [1.0], x1.astype(np.float64), axis=-1)
     eng1 = m1 + ("(fold)" if on_tpu and m1 == "block2" else "")
-    from llzlab_tpu.kernels.block2_fir import band_k as _band_k
-
-    # block2 model: banded K=band_k contraction per output sample
     report("fir_lowpass_1ch", t1 / dt / 1e6, _snr(ref, y), engine=eng1,
            seconds=10,
-           flops_per_sample=2.0 * _band_k(1024, 1024) * _passes,
+           flops_per_sample=cm.fir_block2_flops_per_sample(1024) * _passes,
            bytes_per_sample=8.0, dt=dt, samples=t1)
 
     # ---- config 2: 147/160 resample, 8 channels -------------------------
@@ -188,10 +189,9 @@ def run_all(iters: int = 10, seconds: float = 2.0, channels5: int = 1024):
                      iters * 10)
     y = np.asarray(lz.resample_poly(x2[:1], 147, 160, taps=rtaps))
     ref = ss.upfirdn(rtaps, x2[0].astype(np.float64), 147, 160)[: y.shape[-1]]
-    # polyphase slab model: K = down+k−1 padded to 256 lanes, up outputs
-    # per down inputs
     report("resample_8ch", 8 * t2 / dt / 1e6, _snr(ref, y[0]),
-           flops_per_sample=2.0 * 256 * (147.0 / 160.0) * _passes,
+           flops_per_sample=cm.resample_flops_per_sample(147, 160, 64)
+           * _passes,
            bytes_per_sample=4.0 * (1.0 + 147.0 / 160.0),
            dt=dt, samples=8 * t2)
 
@@ -228,12 +228,10 @@ def run_all(iters: int = 10, seconds: float = 2.0, channels5: int = 1024):
         dt = run_scanned(sos_mm_step, jnp.zeros((64, 8, 2)),
                          jnp.asarray(x3), iters * 2)
         y = np.asarray(lz.sosfilt_matmul(sos8, x3[:4], precision=prec))
-        # matmul engine: per section one (L+2, L) triangular output
-        # matmul, L=254 → (L+2)=256 MACs/sample/section (exact MXU tile)
         report(f"iir_eq_64ch_matmul_{prec}", 64 * t3 / dt / 1e6,
                _snr(ref3, y), engine="matmul", precision=prec,
-               flops_per_sample=2.0 * 256 * 8
-               * {"highest": 6, "high": 3}[prec],
+               flops_per_sample=cm.iir_matmul_flops_per_sample(8)
+               * cm.passes(prec),
                bytes_per_sample=8.0, dt=dt, samples=64 * t3)
 
     # ---- config 4: STFT→gain→iSTFT, 256 channels ------------------------
@@ -295,17 +293,14 @@ def run_all(iters: int = 10, seconds: float = 2.0, channels5: int = 1024):
     skip = stage.latency + (stage.n_fft - stage.hop)
     n4 = min(cut.shape[-1], ref4.shape[-1]) - 2 * stage.n_fft
     snr4 = _snr(ref4[:, skip:n4], cut[:, skip:n4])
-    # wdft engine cost model: windowed dense rDFT in each direction —
-    # 2 real dots of K·N = n·(n/2+1) per frame per direction, one frame
-    # per hop new samples; the stage pins precision="highest" (6-pass).
-    # r4 finding: at this model the row is ~85-90% MXU-bound — the old
-    # four-step-based model undercounted the dense engine 75×.
-    wdft_macs = 2.0 * 2.0 * 2048 * 1025 / 512  # fwd+inv per input sample
+    # wdft engine cost model: see bench/cost_models.py (the stage pins
+    # precision="highest" → 6-pass; r4 finding: at this model the row is
+    # ~85-90% MXU-bound — the old four-step model undercounted 75×).
     report("stft_gain_256ch", 256 * t4 / dt / 1e6, snr4,
            engine=f"SpectralGainStage({stage.engine},highest)",
            golden="f64 WOLA, all samples past the startup envelope "
                   "ramp (mid-stream block boundaries included)",
-           flops_per_sample=2.0 * wdft_macs * 6,
+           flops_per_sample=cm.wdft_flops_per_sample(2048, 512) * 6,
            bytes_per_sample=8.0, dt=dt, samples=256 * t4)
 
     # Same workload at precision="high" (3-pass): the throughput tier
@@ -325,7 +320,7 @@ def run_all(iters: int = 10, seconds: float = 2.0, channels5: int = 1024):
     snr4h = _snr(ref4[:, skip:n4], cut[:, skip:n4])
     report("stft_gain_256ch_high", 256 * t4 / dt / 1e6, snr4h,
            engine=f"SpectralGainStage({stage_h.engine},high)",
-           flops_per_sample=2.0 * wdft_macs * 3,
+           flops_per_sample=cm.wdft_flops_per_sample(2048, 512) * 3,
            bytes_per_sample=8.0, dt=dt, samples=256 * t4)
 
     # ---- config 5: channelizer chain at the spec channel count ----------
@@ -335,7 +330,9 @@ def run_all(iters: int = 10, seconds: float = 2.0, channels5: int = 1024):
     # 1024 channels (VERDICT r2 missing #2).
     from llzlab_tpu.chains.channelizer import Channelizer
 
-    chan = Channelizer()  # auto → fused Pallas on TPU, ols on CPU
+    # pair spec format: the measured r5 winner (ONE combined-table rDFT
+    # matmul, no complex pack — chains/channelizer.py docstring)
+    chan = Channelizer(spec_format="pair")
     m = chan.block_multiple()
     c5 = int(channels5)
 
@@ -360,10 +357,11 @@ def run_all(iters: int = 10, seconds: float = 2.0, channels5: int = 1024):
     nsnr = min(8, c5)
     x5s = np.asarray(x5_dev[:nsnr])
     spec_dev = chan.step(jnp.asarray(x5s), chan.init_state(nsnr))[0]
-    # Fetch real/imag separately: complex64 D2H is unimplemented on the
-    # axon tunnel backend.
-    spec = (np.asarray(jnp.real(spec_dev))
-            + 1j * np.asarray(jnp.imag(spec_dev)))[:2]
+    # pair layout → numpy complex (real halves fetch fine; complex64
+    # D2H is unimplemented on the axon tunnel backend anyway)
+    _sp = np.asarray(spec_dev)[:2]
+    _h1 = _sp.shape[-1] // 2
+    spec = _sp[..., :_h1] + 1j * _sp[..., _h1:]
     y64 = ss.lfilter(chan.fir_taps, [1.0], x5s[:2].astype(np.float64),
                      axis=-1)
     z64 = np.stack([
@@ -373,14 +371,14 @@ def run_all(iters: int = 10, seconds: float = 2.0, channels5: int = 1024):
     n_out = spec.shape[1] * chan.fft_n
     zf64 = z64[:, :n_out].reshape(2, -1, chan.fft_n)
     ref5 = np.fft.rfft(zf64, axis=-1)
-    # fused FIR+resample (banded 1152 + padded-256 group matmul) plus the
-    # rfft on the resampled stream (dense rDFT at "high": n MACs/sample;
-    # real four-step at "highest": ~163)
-    fft_macs = (2048 if _passes == 3 else 163) * (147.0 / 160.0)
+    # fused FIR+resample + frames engine (bench/cost_models.py)
     report("channelizer_1chip", c5 * m / dt / 1e6, _snr(ref5, spec),
-           channels=c5, block=m, engine=chan.fir_method,
+           channels=c5, block=m,
+           engine=f"{chan.fir_method}+pair_rdft",
            input="on-device jax.random (no H2D)",
-           flops_per_sample=2.0 * (1152 + 256 * 147.0 / 160.0 + fft_macs)
+           flops_per_sample=cm.channelizer_flops_per_sample(
+               1024, chan.up, chan.down, chan.k, chan.fft_n, _prec,
+               frames_engine="pair")
            * _passes,
            bytes_per_sample=4.0 * (1.0 + 147.0 / 160.0
                                    + (147.0 / 160.0) * 8 * 1025 / 2048),

@@ -51,6 +51,14 @@ class Channelizer:
         TPU, else "ols" on CPU) | "fused" (single VMEM-resident Pallas
         step, kernels/fused_fir_resample.py) | "ols" | "direct" |
         "block2" (two-matmul Toeplitz).
+      spec_format: "complex" (default) emits complex64 frames
+        ``(C, F, fft_n//2+1)``; "pair" emits the TPU-native (re, im)
+        pair layout ``(C, F, fft_n+2)`` f32 via ONE combined-table rDFT
+        matmul (ops/transform.py rfft_pair) — no second signal read, no
+        DC pass, no complex pack.  Measured r5 (1024 ch, v5e): the pair
+        frames stage runs 1.63× the complex dense path and lifts the
+        whole chain 5786 → 7591 Msps.  Values are identical
+        (``pair_to_complex`` converts).
     """
 
     def __init__(
@@ -64,7 +72,11 @@ class Channelizer:
         taps_per_phase: int = 64,
         fir_method: str = "auto",
         fft_method: str = "auto",
+        spec_format: str = "complex",
     ):
+        if spec_format not in ("complex", "pair"):
+            raise ValueError(f"unknown spec_format {spec_format!r}")
+        self.spec_format = spec_format
         if fir_taps is None:
             fir_taps = _fir.firwin(1024, 0.4, window="hamming")
         self.fir_taps = np.asarray(fir_taps, np.float64)
@@ -213,6 +225,8 @@ class Channelizer:
         c = z.shape[0]
         nf = z.shape[-1] // self.fft_n
         zf = z[..., : nf * self.fft_n].reshape(c, nf, self.fft_n)
+        if self.spec_format == "pair":
+            return _tf.rfft_pair(zf, self.fft_n)
         return _tf.rfft(zf, self.fft_n, method=self.fft_method)
 
     # ---------------- sharded step ----------------

@@ -31,6 +31,29 @@ class TestRfftEngines:
         assert y.shape == ref.shape
         assert _snr_c(ref, y) >= 120.0, (n, eng)
 
+    @pytest.mark.parametrize("n", [16, 256, 2048])
+    def test_pair_engine_matches_numpy(self, n, rng):
+        """rfft_pair: (re, im)-pair layout with the DC column folded
+        into ONE combined-table matmul (r5 channelizer frames engine)."""
+        x = rng.standard_normal((5, n)).astype(np.float32)
+        ref = np.fft.rfft(x.astype(np.float64), axis=-1)
+        out = np.asarray(tr.rfft_pair(jnp.asarray(x), n))
+        assert out.shape == (5, n + 2)
+        h1 = n // 2 + 1
+        y = out[..., :h1].astype(np.float64) + 1j * out[..., h1:]
+        assert _snr_c(ref, y) >= 120.0, n
+
+    def test_pair_matches_dense_engine(self, rng):
+        """Same tables, same contraction: pair == dense to f32 noise,
+        and pair_to_complex round-trips the layout."""
+        n = 512
+        x = rng.standard_normal((4, n)).astype(np.float32)
+        dense = np.asarray(tr.rfft_matmul(jnp.asarray(x), n,
+                                          engine="dense"))
+        out = tr.rfft_pair(jnp.asarray(x), n)
+        cplx = np.asarray(tr.pair_to_complex(out))
+        assert np.max(np.abs(cplx - dense)) <= 1e-4 * np.max(np.abs(dense))
+
     def test_auto_resolves_and_matches(self, rng):
         x = rng.standard_normal((3, 2048)).astype(np.float32)
         ref = np.fft.rfft(x.astype(np.float64), axis=-1)

@@ -133,3 +133,27 @@ class TestFirResampleEngines:
                                       engine="pallas") == 2048
         assert fir_resample_state_len(1024, 147, 160, 147 * 64,
                                       engine="composite") == 1120
+
+    def test_spec_format_pair_matches_complex(self, snr):
+        """spec_format='pair' (r5 frames engine: ONE combined-table
+        rDFT matmul) emits the same spectrum as the complex path, in
+        the (re, im)-pair layout."""
+        rng = np.random.default_rng(91)
+        kw = dict(fir_taps=lz.firwin(256, 0.4), up=3, down=4,
+                  fft_n=128, taps_per_phase=8, fir_method="fused")
+        cc = Channelizer(spec_format="complex", **kw)
+        cp = Channelizer(spec_format="pair", **kw)
+        m = cc.block_multiple()
+        x = rng.standard_normal((8, m)).astype(np.float32)
+        spec_c, _ = cc.step(jnp.asarray(x), cc.init_state(8))
+        spec_p, _ = cp.step(jnp.asarray(x), cp.init_state(8))
+        h1 = cc.fft_n // 2 + 1
+        assert spec_p.shape == spec_c.shape[:-1] + (cc.fft_n + 2,)
+        pp = np.asarray(spec_p)
+        got = pp[..., :h1] + 1j * pp[..., h1:]
+        ref = np.asarray(spec_c).astype(np.complex128)
+        assert snr(ref, got) >= 120.0
+
+    def test_spec_format_validated(self):
+        with pytest.raises(ValueError, match="spec_format"):
+            Channelizer(spec_format="nope")
