@@ -293,14 +293,18 @@ def run_all(iters: int = 10, seconds: float = 2.0, channels5: int = 1024):
     skip = stage.latency + (stage.n_fft - stage.hop)
     n4 = min(cut.shape[-1], ref4.shape[-1]) - 2 * stage.n_fft
     snr4 = _snr(ref4[:, skip:n4], cut[:, skip:n4])
-    # wdft engine cost model: see bench/cost_models.py (the stage pins
-    # precision="highest" → 6-pass; r4 finding: at this model the row is
-    # ~85-90% MXU-bound — the old four-step model undercounted 75×).
+    # engine cost model by the stage's resolved engine (cwola on TPU
+    # for the static bench gain — r5; see bench/cost_models.py)
+    def _c4_model(st_):
+        return (cm.cwola_flops_per_sample(st_.n_fft, st_.hop)
+                if st_.engine == "cwola"
+                else cm.wdft_flops_per_sample(st_.n_fft, st_.hop))
+
     report("stft_gain_256ch", 256 * t4 / dt / 1e6, snr4,
            engine=f"SpectralGainStage({stage.engine},highest)",
            golden="f64 WOLA, all samples past the startup envelope "
                   "ramp (mid-stream block boundaries included)",
-           flops_per_sample=cm.wdft_flops_per_sample(2048, 512) * 6,
+           flops_per_sample=_c4_model(stage) * 6,
            bytes_per_sample=8.0, dt=dt, samples=256 * t4)
 
     # Same workload at precision="high" (3-pass): the throughput tier
@@ -320,7 +324,7 @@ def run_all(iters: int = 10, seconds: float = 2.0, channels5: int = 1024):
     snr4h = _snr(ref4[:, skip:n4], cut[:, skip:n4])
     report("stft_gain_256ch_high", 256 * t4 / dt / 1e6, snr4h,
            engine=f"SpectralGainStage({stage_h.engine},high)",
-           flops_per_sample=cm.wdft_flops_per_sample(2048, 512) * 3,
+           flops_per_sample=_c4_model(stage_h) * 3,
            bytes_per_sample=8.0, dt=dt, samples=256 * t4)
 
     # ---- config 5: channelizer chain at the spec channel count ----------

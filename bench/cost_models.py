@@ -157,6 +157,13 @@ def wdft_flops_per_sample(n_fft: int, hop: int) -> float:
     return 2.0 * 2.0 * 2.0 * n_fft * (n_fft // 2 + 1) / hop
 
 
+def cwola_flops_per_sample(n_fft: int, hop: int) -> float:
+    """Composed-WOLA engine (r5): analysis→static-gain→synthesis as ONE
+    (n_fft, n_fft) frame matmul → n² MACs per frame, one frame per hop
+    input samples (2.0× fewer MACs than the wdft pair of passes)."""
+    return 2.0 * n_fft * n_fft / hop
+
+
 # ---------------------------------------------------------------------------
 # Channelizer chain (chains/channelizer.py)
 # ---------------------------------------------------------------------------

@@ -187,6 +187,17 @@ def _windowed_irdft_ola_jit(sr, si, n_fft, hop, window, prec):
     return acc.reshape(shape[:-2] + (nbh * hop,))
 
 
+def _check_wdft_shapes(t: int, n_fft: int, hop: int):
+    """Mirror frame()'s validation (ADVICE r4: a non-dividing hop used
+    to die with an opaque reshape error inside the table builder, and
+    t < n_fft silently returned zero frames)."""
+    if n_fft % hop != 0:
+        raise ValueError(f"hop ({hop}) must divide n_fft ({n_fft})")
+    if t < n_fft:
+        raise ValueError(
+            f"signal length {t} shorter than one frame ({n_fft})")
+
+
 def windowed_rdft(x: jnp.ndarray, n_fft: int, hop: int,
                   window: str = "hann",
                   prec: Optional[str] = None) -> jnp.ndarray:
@@ -198,6 +209,7 @@ def windowed_rdft(x: jnp.ndarray, n_fft: int, hop: int,
     from llzlab_tpu.ops.transform import (_jit_pack,
                                           matmul_precision_name)
 
+    _check_wdft_shapes(x.shape[-1], n_fft, hop)
     xr, xi = _windowed_rdft_jit(
         x, n_fft, hop, window, prec or matmul_precision_name())
     return _jit_pack(xr, xi)
@@ -212,9 +224,91 @@ def windowed_irdft_ola(spec: jnp.ndarray, n_fft: int, hop: int,
     from llzlab_tpu.ops.transform import (_jit_split,
                                           matmul_precision_name)
 
+    if n_fft % hop != 0:
+        raise ValueError(f"hop ({hop}) must divide n_fft ({n_fft})")
     sr, si = _jit_split(spec)
     return _windowed_irdft_ola_jit(
         sr, si, n_fft, hop, window, prec or matmul_precision_name())
+
+
+# ---------------------------------------------------------------------------
+# Composed WOLA: analysis → static gain → synthesis as ONE frame map
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=16)
+def _cwola_tables(n_fft: int, hop: int, window: str,
+                  gain_bytes: bytes) -> np.ndarray:
+    """The whole ``diag(w)·DFT·diag(g)·iDFT·diag(w)`` per-frame linear
+    map composed on host in float64 into ONE real ``(n_fft, n_fft)``
+    matrix (r5, VERDICT r4 #2): for a STATIC per-bin gain the wdft
+    engine's two dense windowed-rDFT passes (2·2·n·(n/2+1) MACs/frame)
+    collapse to a single frame matmul (n² MACs/frame — 2.0× fewer at
+    n=2048) with no intermediate spectrum in HBM and one fewer
+    rounding site.  Returned reshaped ``(ratio, hop, ratio, hop)`` for
+    the shifted-matmul dataflow."""
+    w = get_window(window, n_fft, periodic=True).astype(np.float64)
+    g = np.frombuffer(gain_bytes, np.float64)
+    nb = n_fft // 2 + 1
+    if g.shape != (nb,):
+        raise ValueError(f"gain must have {nb} bins, got {g.shape}")
+    j = np.arange(n_fft)
+    k = np.arange(nb)
+    ang = -2.0 * np.pi * np.outer(j, k) / n_fft
+    cr = np.cos(ang) * w[:, None]          # analysis re (n, nb)
+    ci = np.sin(ang) * w[:, None]          # analysis im
+    scale = np.full(nb, 2.0 / n_fft)
+    scale[0] = scale[-1] = 1.0 / n_fft
+    vr = np.cos(-ang.T) * scale[:, None] * w[None, :]   # (nb, n)
+    vi = np.sin(ang.T) * scale[:, None] * w[None, :]
+    vi[0] = 0.0
+    vi[-1] = 0.0
+    m = cr @ (g[:, None] * vr) + ci @ (g[:, None] * vi)
+    ratio = n_fft // hop
+    return (m.astype(np.float32)
+            .reshape(ratio, hop, ratio, hop))
+
+
+@functools.partial(jax.jit, static_argnames=("n_fft", "hop", "prec"))
+def _cwola_apply_jit(x, mask, mtab, n_fft, hop, prec):
+    from llzlab_tpu.ops.transform import _prec_enum
+
+    ratio = n_fft // hop
+    shape = x.shape
+    t = shape[-1]
+    nf = stft_num_frames(t, n_fft, hop)
+    nbh = nf - 1 + ratio
+    xb = x[..., : nbh * hop].reshape(-1, nbh, hop).astype(jnp.float32)
+    kw = dict(preferred_element_type=jnp.float32,
+              precision=_prec_enum(prec))
+    acc = jnp.zeros((xb.shape[0], nbh, hop), jnp.float32)
+    for q in range(ratio):
+        # row f of seg is frame f's q-th hop-chunk; the per-frame mask
+        # commutes with the linear map, so it rides on the input chunk
+        seg = xb[:, q : q + nf, :] * mask[None, :, None]
+        for qp in range(ratio):
+            z = jnp.einsum("zfp,pr->zfr", seg, mtab[q, :, qp, :], **kw)
+            acc = acc.at[:, qp : qp + nf, :].add(z)
+    return acc.reshape(shape[:-1] + (nbh * hop,))
+
+
+def composed_wola(x: jnp.ndarray, mask: jnp.ndarray, n_fft: int,
+                  hop: int, window: str, gain: np.ndarray,
+                  prec: Optional[str] = None) -> jnp.ndarray:
+    """WOLA ``overlap_add(istft_frame(gain · stft_frame(x)))`` for a
+    STATIC per-bin gain via the composed frame map (``_cwola_tables``).
+    ``mask``: per-frame (nf,) weight applied to each frame's
+    contribution (stream-start zero-pad masking — commutes with the
+    composed linear map).  Envelope normalisation is the caller's.
+    Output ``(..., ov + t)`` like :func:`windowed_irdft_ola` on the
+    full frame set."""
+    from llzlab_tpu.ops.transform import matmul_precision_name
+
+    _check_wdft_shapes(x.shape[-1], n_fft, hop)
+    mtab = jnp.asarray(_cwola_tables(
+        n_fft, hop, window,
+        np.ascontiguousarray(gain, np.float64).tobytes()))
+    return _cwola_apply_jit(x, mask, mtab, n_fft, hop,
+                            prec or matmul_precision_name())
 
 
 def stft(

@@ -254,19 +254,31 @@ class SpectralGainStage(Stage):
         self.window = window
         self.method = method
         self.precision = precision
+        # "cwola" (r5): for a STATIC gain vector the whole analysis→
+        # gain→synthesis per-frame map composes on host to ONE
+        # (n_fft, n_fft) real matrix — n² MACs/frame vs the wdft
+        # engine's 2·2·n·(n/2+1) (2.0× fewer at n=2048), no
+        # intermediate spectrum in HBM (ops/spectral.composed_wola).
         # "wdft": frame-free windowed shifted-matmul analysis/synthesis
         # (window folded into the DFT tables, no 4x frame expansion —
-        # ops/spectral.windowed_rdft).  "reference": frame->rfft->irfft
-        # ->overlap_add.  "auto" = wdft on TPU for power-of-two n_fft
-        # (measured +48%/+116% — docs/ROOFLINE.md); reference on CPU
-        # (pocketfft beats dense matmuls there).
+        # ops/spectral.windowed_rdft) — required when gain is callable
+        # (data-dependent, cannot compose).  "reference": frame->rfft->
+        # irfft->overlap_add.  "auto" = cwola (static gain) / wdft
+        # (callable gain) on TPU for power-of-two n_fft; reference on
+        # CPU (pocketfft beats dense matmuls there).
         if engine == "auto":
             import jax as _jax
 
             on_tpu = _jax.default_backend() in ("tpu", "axon")
-            engine = ("wdft" if on_tpu and n_fft >= 16
-                      and (n_fft & (n_fft - 1)) == 0
-                      and isinstance(window, str) else "reference")
+            if (on_tpu and n_fft >= 16 and (n_fft & (n_fft - 1)) == 0
+                    and isinstance(window, str)):
+                engine = "wdft" if callable(self.gain) else "cwola"
+            else:
+                engine = "reference"
+        if engine == "cwola" and callable(self.gain):
+            raise ValueError(
+                "engine='cwola' composes a STATIC gain into the frame "
+                "map; a callable gain needs engine='wdft'")
         self.engine = engine
         self.block_multiple = self.hop
         #: output samples lag input samples by this much (WOLA lookback)
@@ -311,7 +323,13 @@ class SpectralGainStage(Stage):
         mask = (
             state["pos"] + jnp.arange(nf) * self.hop >= ov
         ).astype(jnp.float32)
-        if self.engine == "wdft":
+        if self.engine == "cwola":
+            with precision_scope(self.precision):
+                buf = _stft.composed_wola(
+                    ext, mask, self.n_fft, self.hop, self.window,
+                    np.asarray(self.gain, np.float64),
+                    prec=self.precision)
+        elif self.engine == "wdft":
             with precision_scope(self.precision):
                 spec = _stft.windowed_rdft(
                     ext, self.n_fft, self.hop, self.window,

@@ -121,6 +121,18 @@ class TestXlaEngines:
         _check(b * t * cm.wdft_flops_per_sample(2048, 512), fl,
                "wdft spectral gain stage")
 
+    def test_cwola_stage(self, rng):
+        from llzlab_tpu.pipeline.chain import SpectralGainStage
+
+        gain = np.linspace(1.0, 0.5, 1025).astype(np.float32)
+        stage = SpectralGainStage(gain, engine="cwola", precision="high")
+        b, t = 4, 16384
+        x = jnp.asarray(rng.standard_normal((b, t)).astype(np.float32))
+        st = stage.init_state((b,))
+        fl = _xla_flops(lambda v, s: stage.apply(v, s), x, st)
+        _check(b * t * cm.cwola_flops_per_sample(2048, 512), fl,
+               "cwola spectral gain stage")
+
 
 class TestPallasTablePins:
     """Pallas formulations: the model must equal the MAC count the
