@@ -128,6 +128,51 @@ def main():
         dt = max(wallt - _base, 0.05 * wallt)
         return C * T * ITERS / dt / 1e6
 
+    def timeit_stable(fn, *fargs, reps=5):
+        """Adaptive + repeated timing (VERDICT r4 #4): grow the scan
+        length until the wall is compute-dominated (≥ 6× the dispatch
+        base, i.e. ≥ ~200 ms), then measure ``reps`` walls and report
+        min-based Msps WITH the observed spread.  The r4 IIR rows were
+        taken at sub-100 ms walls where the tunnel's dispatch variance
+        produced ±30% between harness contexts; at 6× base the spread
+        collapses below the calib-artifact's 10% gate."""
+        n = ITERS
+
+        def make(length):
+            @jax.jit
+            def go(*a):
+                def body(c, _):
+                    return _probe(fn(a[0] + c, *a[1:])), ()
+                c, _ = lax.scan(body, jnp.float32(0), None, length=length)
+                return c
+            return go
+
+        go = make(n)
+        for _r in range(6):
+            np.asarray(go(*fargs))
+            t1 = time.perf_counter()
+            np.asarray(go(*fargs))
+            wall = time.perf_counter() - t1
+            if wall >= 6.0 * _base or n >= 100000:
+                break
+            n *= min(16, max(2, int(6.0 * _base / max(wall, 1e-9)) + 1))
+            go = make(n)
+        walls = []
+        for _r in range(reps):
+            t1 = time.perf_counter()
+            np.asarray(go(*fargs))
+            walls.append(time.perf_counter() - t1)
+        walls = np.asarray(walls)
+        dts = np.maximum(walls - _base, 0.05 * walls)
+        msps = C * T * n / dts / 1e6
+        return {
+            "msps": round(float(msps.max()), 1),      # min wall
+            "msps_median": round(float(np.median(msps)), 1),
+            "spread_pct": round(
+                100.0 * float((dts.max() - dts.min()) / dts.min()), 1),
+            "scan_iters": n,
+        }
+
     def report(**rec):
         print(json.dumps(rec), flush=True)
         log(json.dumps(rec))
@@ -227,8 +272,8 @@ def main():
 
         y = np.asarray(scan_f(x3)[:2])
         iir_rows.append(dict(engine="scan", precision="f32",
-                             msps=round(timeit(scan_f, x3), 1),
-                             snr=round(snr_db(ref, y), 1)))
+                             snr=round(snr_db(ref, y), 1),
+                             **timeit_stable(scan_f, x3)))
         report(op="iir", **iir_rows[-1])
 
         for prec in ("highest", "high"):
@@ -240,27 +285,34 @@ def main():
 
             y = np.asarray(mm_f(x3)[:2])
             iir_rows.append(dict(engine="matmul", precision=prec,
-                                 msps=round(timeit(mm_f, x3), 1),
-                                 snr=round(snr_db(ref, y), 1)))
+                                 snr=round(snr_db(ref, y), 1),
+                                 **timeit_stable(mm_f, x3)))
             report(op="iir", **iir_rows[-1])
 
         if args.write_calib:
             from llzlab_tpu.ops.iir_select import calib_path
 
-            kind = jax.devices()[0].device_kind
-            path = calib_path(kind)
-            os.makedirs(os.path.dirname(path), exist_ok=True)
-            with open(path, "w") as f:
-                json.dump({
-                    "device_kind": kind,
-                    "workload": "8-section peaking-EQ cascade, "
-                                f"{C}ch x {t3}",
-                    "channels": C,
-                    "block": t3,
-                    "net_of_dispatch_ms": round(_base * 1e3, 2),
-                    "measured": iir_rows,
-                }, f, indent=1)
-            log(f"calibration artifact written: {path}")
+            # Gate (VERDICT r4 #4): an artifact built from walls with
+            # >10% run-to-run spread would bake measurement noise into
+            # engine selection — refuse to write it.
+            bad = [r for r in iir_rows if r["spread_pct"] >= 10.0]
+            if bad:
+                log(f"calib NOT written: spread >= 10% on {bad}")
+            else:
+                kind = jax.devices()[0].device_kind
+                path = calib_path(kind)
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                with open(path, "w") as f:
+                    json.dump({
+                        "device_kind": kind,
+                        "workload": "8-section peaking-EQ cascade, "
+                                    f"{C}ch x {t3}",
+                        "channels": C,
+                        "block": t3,
+                        "net_of_dispatch_ms": round(_base * 1e3, 2),
+                        "measured": iir_rows,
+                    }, f, indent=1)
+                log(f"calibration artifact written: {path}")
 
     def timeit_n(fn, samples, iters, *fargs):
         """Like timeit but with explicit sample count / scan length."""

@@ -146,3 +146,10 @@ class TestCalibArtifactShape:
             # … and the shape must be the config-3 row's spec shape
             assert art["block"] == self.CONFIG3_BLOCK, path
             assert art["channels"] == self.CONFIG3_CHANNELS, path
+            # VERDICT r4 #4: rankings must come from compute-dominated
+            # walls — every row records its run-to-run spread and the
+            # write gate refuses >= 10%
+            for row in art["measured"]:
+                assert "spread_pct" in row, (path, row)
+                assert row["spread_pct"] < 10.0, (path, row)
+                assert row["scan_iters"] >= 1, (path, row)
