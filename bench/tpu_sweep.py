@@ -42,7 +42,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--suite", default="all",
                    help="comma-separated subset of "
-                        "{all,chain,fir,iir,fir1ch,fusedsweep,fft}")
+                        "{all,chain,fir,iir,fir1ch,fusedsweep,fft,"
+                        "fftsize}")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--channels", type=int, default=64)
     p.add_argument("--block", type=int, default=245760)
@@ -544,6 +545,49 @@ def main():
                 except Exception as e:
                     report(op="ifft", engine=eng, precision=prc,
                            error=str(e)[:160])
+
+    # ---- fftsize: rfft engine ranking ACROSS SIZES (VERDICT r4 #7) ------
+    # The r4 auto rule (dense at high for ANY power of two) was measured
+    # only at n=2048 while the dense table is O(n²) and its MACs/sample
+    # grow as n; this suite measures the ranking over the size range the
+    # API accepts so the auto thresholds are evidence, not extrapolation.
+    # NOT in --suite all: run explicitly (it owns the chip for minutes).
+    if want("fftsize"):
+        from llzlab_tpu.ops import transform as tr
+
+        for nfft in (256, 512, 1024, 2048, 4096, 8192):
+            nfr = T // nfft
+            xf = x[:, : nfr * nfft].reshape(C, nfr, nfft)
+            ref = np.fft.rfft(np.asarray(xf[:2], np.float64), axis=-1)
+            samples = C * nfr * nfft
+            rows = []
+            for prc in ("high", "highest"):
+                for eng in ("dense", "real", "pack"):
+                    def ffn(v, _e=eng, _p=prc, _n=nfft):
+                        return tr._jit_pack(
+                            *tr._rfft_matmul_jit(v, _n, _p, _e))
+                    try:
+                        y = ffn(xf[:2])
+                        yh = (np.asarray(jnp.real(y), np.float64)
+                              + 1j * np.asarray(jnp.imag(y), np.float64))
+                        rows.append(dict(
+                            op="fft", nfft=nfft, engine=eng, precision=prc,
+                            msps=round(timeit_n(ffn, samples, ITERS, xf),
+                                       1),
+                            snr=round(snr_db(ref, yh), 1)))
+                    except Exception as e:
+                        rows.append(dict(op="fft", nfft=nfft, engine=eng,
+                                         precision=prc,
+                                         error=str(e)[:160]))
+                    report(**rows[-1])
+            def xfn(v, _n=nfft):
+                return jnp.fft.rfft(v, n=_n, axis=-1)
+            y = xfn(xf[:2])
+            yh = (np.asarray(jnp.real(y), np.float64)
+                  + 1j * np.asarray(jnp.imag(y), np.float64))
+            report(op="fft", nfft=nfft, engine="xla", precision="n/a",
+                   msps=round(timeit_n(xfn, samples, ITERS, xf), 1),
+                   snr=round(snr_db(ref, yh), 1))
 
     log("done")
 

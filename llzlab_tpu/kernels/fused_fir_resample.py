@@ -550,7 +550,15 @@ def fused_fir_resample_pallas(
     ntaps = len(fir_np)
     block = block2_block(ntaps)
     if impl == "v4" and (wide or (block // 128) % max(nw, 1)):
-        impl, nw = "v3", 1  # wide is a v3-only variant; nw must tile nt
+        # An EXPLICIT v4 request that cannot run must not silently
+        # become v3 (ADVICE r4: callers couldn't tell which dataflow
+        # ran); only the nw reset is silent-safe (nw=1 is bit-exact).
+        raise ValueError(
+            f"impl='v4' rejected: "
+            + ("wide=True is a v3-only variant"
+               if wide else
+               f"nw={nw} does not tile the {block // 128} output tiles "
+               f"per block (block={block})"))
     tables = fused_tables(fir_np, r_np, up, down, mode, wide=wide,
                           nw=nw if impl == "v4" else 1)
 

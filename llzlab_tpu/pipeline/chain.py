@@ -205,6 +205,15 @@ class FusedFirResampleStage(Stage):
     def apply(self, x, state):
         from llzlab_tpu.ops.fused_chain import fir_resample
 
+        if self.engine == "pallas":
+            b = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+            if b < 8 or b % 8:
+                raise ValueError(
+                    f"engine='pallas' needs a channel batch that is a "
+                    f"multiple of 8 (got {b}); the engine was resolved "
+                    f"at build from the channels hint — construct the "
+                    f"stage with channels={b} to get the composite "
+                    f"engine (ADVICE r4)")
         return fir_resample(
             x, self.fir_taps, self.up, self.down, rtaps=self.rtaps,
             zi=state, return_zf=True, engine=self.engine,

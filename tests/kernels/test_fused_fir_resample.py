@@ -89,3 +89,47 @@ def test_state_len_matches_history_reach():
     assert h == 2 * block
     # history must cover (K−1) resample lookback + (ntaps−1) FIR reach
     assert h >= (K - 1) + (NTAPS - 1)
+
+
+def test_v4_nw1_bitwise_equals_v3(rng):
+    """ADVICE r4: pin the v4 (split-once) dataflow at nw=1 bitwise
+    against v3 in interpret mode — only bench/r4_probe.py exercised it
+    before."""
+    taps, rtaps, x = _setup(rng)
+    z3 = ff.fused_fir_resample_pallas(
+        x, taps, UP, DOWN, rtaps, mode="highest", interpret=True,
+        impl="v3")
+    z4 = ff.fused_fir_resample_pallas(
+        x, taps, UP, DOWN, rtaps, mode="highest", interpret=True,
+        impl="v4", nw=1)
+    np.testing.assert_array_equal(np.asarray(z3), np.asarray(z4))
+
+
+def test_v4_explicit_incompatible_raises(rng):
+    """ADVICE r4: an explicit impl='v4' that cannot run must raise, not
+    silently downgrade to v3."""
+    taps, rtaps, x = _setup(rng)
+    with pytest.raises(ValueError, match="v4"):
+        ff.fused_fir_resample_pallas(
+            x, taps, UP, DOWN, rtaps, mode="highest", interpret=True,
+            impl="v4", wide=True)
+    nt = fir_mod.block2_block(NTAPS) // 128
+    with pytest.raises(ValueError, match="v4"):
+        ff.fused_fir_resample_pallas(
+            x, taps, UP, DOWN, rtaps, mode="highest", interpret=True,
+            impl="v4", nw=nt + 3)
+
+
+def test_stage_pallas_rejects_bad_batch(rng):
+    """ADVICE r4: FusedFirResampleStage with engine='pallas' must fail
+    with a clear message when the runtime batch is not a multiple of 8,
+    not an opaque kernel-tile error downstream."""
+    from llzlab_tpu.pipeline.chain import FusedFirResampleStage
+
+    taps = fir_mod.firwin(NTAPS, 0.2, window="hamming")
+    stage = FusedFirResampleStage(taps, UP, DOWN, taps_per_phase=K,
+                                  engine="pallas")
+    p = ff.fused_program_in(NTAPS, UP, DOWN)
+    x = rng.standard_normal((5, p)).astype(np.float32)
+    with pytest.raises(ValueError, match="channels"):
+        stage.apply(jnp.asarray(x), stage.init_state((5,)))
