@@ -56,6 +56,11 @@ def main():
                         "host-capacity saturation (virtual CPU devices "
                         "share the physical cores) from real sharding "
                         "overhead (comm + imbalance + sync)")
+    p.add_argument("--meshes", default=None,
+                   help="comma-separated explicit mesh points "
+                        "'CxT[,CxT…]' (e.g. '2x2,1x4') instead of the "
+                        "default time-major power-of-two walk — used to "
+                        "pin outliers (VERDICT r4 #5a)")
     args = p.parse_args()
 
     if args.backend == "cpu":
@@ -105,20 +110,25 @@ def main():
         return 2 * (n_time - 1) * c_total * (chan.h_fir + chan.h_rs) * 4
 
     points = []
-    n = 1
-    sizes = []
-    while n <= nd_all:
-        sizes.append(n)
-        n *= 2
+    if args.meshes:
+        shapes = []
+        for tok in args.meshes.split(","):
+            c_, t_ = tok.lower().split("x")
+            shapes.append((int(c_), int(t_)))
+    else:
+        n = 1
+        shapes = []
+        while n <= nd_all:
+            shapes.append((1, n))  # time-major walk (halo comm axis)
+            n *= 2
 
     rng = np.random.default_rng(0)
     base = None
-    for nd in sizes:
-        # weak scaling: keep per-device (channels × time) fixed; grow the
-        # mesh time-major (halo comm is the interesting axis), spill to
-        # channel when time splits stop dividing the workload.
-        n_time = nd
-        n_channel = 1
+    for n_channel, n_time in shapes:
+        # weak scaling: keep per-device (channels × time) fixed; grow
+        # the mesh (default: time-major — halo comm is the interesting
+        # axis; --meshes overrides for specific points).
+        nd = n_channel * n_time
         c_total = args.channels_per_dev * n_channel
         t_total = m * n_time
         mesh = make_dsp_mesh(n_channel, n_time, devices=devs[:nd])
