@@ -355,3 +355,33 @@ class TestChannelizerRdmaFusedHalo:
         mesh = Mesh(np.asarray(jax.devices()[:4]), (TIME_AXIS,))
         with pytest.raises(ValueError, match="compose"):
             chan.sharded_step(mesh, halo="rdma_fused", halo_overlap=True)
+
+
+class TestChannelizerShardedPairFormat:
+    def test_pair_spec_format_sharded_matches_unsharded(self, snr):
+        """spec_format='pair' (r5 bench default) through sharded_step:
+        the pair frames engine must survive the shard_map out_specs and
+        match the unsharded pair step."""
+        import llzlab_tpu as lz
+        from llzlab_tpu.chains.channelizer import Channelizer
+
+        chan = Channelizer(
+            fir_taps=lz.firwin(96, 0.4),
+            up=3,
+            down=4,
+            fft_n=128,
+            taps_per_phase=16,
+            fir_method="direct",
+            spec_format="pair",
+        )
+        mesh = make_dsp_mesh(2, 4)
+        m = chan.block_multiple()
+        c, t = 4, m * 4
+        rng = np.random.default_rng(79)
+        x = rng.standard_normal((c, t)).astype(np.float32)
+        (spec_sh,), _ = _run_sharded(chan, mesh, x)
+        ref, _ = chan.step(jnp.asarray(x), chan.init_state(c))
+        ref = np.asarray(ref)
+        assert spec_sh.shape == ref.shape
+        assert spec_sh.shape[-1] == chan.fft_n + 2
+        assert snr(ref, spec_sh) >= 140.0
