@@ -48,6 +48,8 @@ def main():
     p.add_argument("--channels", type=int, default=64)
     p.add_argument("--block", type=int, default=245760)
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--fft-sizes", default="256,512,1024,2048,4096,8192",
+                   help="sizes for --suite fftsize")
     p.add_argument("--write-calib", action="store_true",
                    help="write the iir-suite measurements to "
                         "llzlab_tpu/calib/<device_kind>.json (the "
@@ -555,11 +557,16 @@ def main():
     if want("fftsize"):
         from llzlab_tpu.ops import transform as tr
 
-        for nfft in (256, 512, 1024, 2048, 4096, 8192):
+        for nfft in (int(s) for s in args.fft_sizes.split(",")):
             nfr = T // nfft
             xf = x[:, : nfr * nfft].reshape(C, nfr, nfft)
             ref = np.fft.rfft(np.asarray(xf[:2], np.float64), axis=-1)
             samples = C * nfr * nfft
+            # timeit_stable (not timeit_n): these rows drive the auto
+            # thresholds, so they need compute-dominated walls + a
+            # recorded spread, same as the IIR calib rows (an early
+            # short-wall run reported 4096-highest "faster" than 2048
+            # for a strictly-more-MACs formulation — pure noise).
             rows = []
             for prc in ("high", "highest"):
                 for eng in ("dense", "real", "pack"):
@@ -572,9 +579,8 @@ def main():
                               + 1j * np.asarray(jnp.imag(y), np.float64))
                         rows.append(dict(
                             op="fft", nfft=nfft, engine=eng, precision=prc,
-                            msps=round(timeit_n(ffn, samples, ITERS, xf),
-                                       1),
-                            snr=round(snr_db(ref, yh), 1)))
+                            snr=round(snr_db(ref, yh), 1),
+                            **timeit_stable(ffn, xf, reps=3)))
                     except Exception as e:
                         rows.append(dict(op="fft", nfft=nfft, engine=eng,
                                          precision=prc,
@@ -586,8 +592,8 @@ def main():
             yh = (np.asarray(jnp.real(y), np.float64)
                   + 1j * np.asarray(jnp.imag(y), np.float64))
             report(op="fft", nfft=nfft, engine="xla", precision="n/a",
-                   msps=round(timeit_n(xfn, samples, ITERS, xf), 1),
-                   snr=round(snr_db(ref, yh), 1))
+                   snr=round(snr_db(ref, yh), 1),
+                   **timeit_stable(xfn, xf, reps=3))
 
     log("done")
 

@@ -416,12 +416,13 @@ def _channel_tile(b: int, cap: int = 128) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("ntaps", "up", "down", "k", "mode", "interpret", "gb",
-                     "rs_batch", "wide", "p_mult", "impl", "nw"),
+                     "rs_batch", "wide", "p_mult", "impl", "nw", "cb"),
 )
 def _fused_pallas_jit(x, hist, tables, *, ntaps: int, up: int, down: int,
                       k: int, mode: str, interpret: bool, gb: int = 0,
                       rs_batch: int = 8, wide: bool = False,
-                      p_mult: int = 1, impl: str = "v3", nw: int = 1):
+                      p_mult: int = 1, impl: str = "v3", nw: int = 1,
+                      cb: int = 0):
     block = block2_block(ntaps)
     b, t = x.shape
     p_in = fused_program_in(ntaps, up, down) * p_mult
@@ -431,7 +432,11 @@ def _fused_pallas_jit(x, hist, tables, *, ntaps: int, up: int, down: int,
     # Channel grid: tile channels so the per-program VMEM working set
     # stays bounded at any batch (1024-channel spec shape included);
     # time is the INNER grid dim so the weight tables stay resident.
-    cb = _channel_tile(b)
+    # ``cb`` overrides the tile for measured experiments (must divide b).
+    if cb <= 0:
+        cb = _channel_tile(b)
+    elif b % cb:
+        raise ValueError(f"cb={cb} does not divide batch {b}")
     G = p_in // down
     nyb = p_in // block + 1         # y blocks per program (1 halo block)
     k2 = down + k - 1
@@ -528,6 +533,7 @@ def fused_fir_resample_pallas(
     p_mult: int = 0,
     impl: str = "v3",
     nw: int = 1,
+    cb: int = 0,
 ):
     """Fused FIR→resample on ``(..., T)`` → ``(..., T·up/down)``.
 
@@ -577,7 +583,7 @@ def fused_fir_resample_pallas(
         # the split-once xs scratches (~4 B/lane), so its budget factor
         # is 7.5 — pm=3 at 64 ch crashed the remote TPU compiler (VMEM).
         p0 = fused_program_in(ntaps, up, down)
-        cb_est = _channel_tile(b)
+        cb_est = cb if cb > 0 else _channel_tile(b)
         budget = 7.5 if impl == "v4" else 6
         p_mult = 1
         for pm in (4, 3, 2):
@@ -589,7 +595,7 @@ def fused_fir_resample_pallas(
     z = _fused_pallas_jit(
         xb, hist, tables, ntaps=ntaps, up=up, down=down, k=k, mode=mode,
         interpret=interpret, gb=gb, rs_batch=rs_batch, wide=wide,
-        p_mult=p_mult, impl=impl, nw=nw,
+        p_mult=p_mult, impl=impl, nw=nw, cb=cb,
     )
     n_out = resample_output_len(t, up, down)
     z = z[:, :n_out].reshape(shape[:-1] + (n_out,)).astype(x.dtype)

@@ -23,11 +23,14 @@ computed in float64 on host and rounded once (SURVEY.md §7 hard part 2).
 on CPU test meshes).  ``method="auto"`` picks matmul on TPU for supported
 sizes.
 
-Measured (v5e, r4, net-of-dispatch NONLINEAR-probe harness, batched
-2048-pt — bench/tpu_sweep.py --suite fft): rfft auto = dense rDFT
-13876 Msps @ 98.9 dB at precision=high, real four-step 8963 @ 139.4 at
-highest; irfft auto = packed-half 15117 @ 95.3 / 14159 @ 135.2.
-XLA's TPU FFT: 7403 @ 131.2 — the matmul engines win every cell.
+Measured (v5e, r5, compute-dominated stable harness — bench/tpu_sweep.py
+--suite fftsize, artifact bench/fftsize_v5e_r5.jsonl): rfft auto is
+size-aware (``_DENSE_AUTO_MAX``): dense rDFT to 48.4 Gsps at n=256 and
+14.4 @ 98.9 dB at n=2048/high; real four-step 9.3 @ 139.4 at
+2048/highest; pack at 4096; real at 8192+.  irfft auto = packed-half
+15.1 Gsps @ 95.3 / 14.2 @ 135.2 (2048).  XLA's TPU FFT: 6.4-14.9 Gsps
+@ ~131 — the matmul engines win every cell except n=256 where only
+dense beats it.
 """
 
 from __future__ import annotations
@@ -304,10 +307,30 @@ def _rfft_real_core(xb: jnp.ndarray, n: int, prec: str,
     return outr, outi
 
 
+#: dense-rDFT table cap: the (n, n/2) cos/sin pair costs 4·n² bytes
+#: (n=4096 → 67 MB allowed; n=8192 → 268 MB, n=16384 → 1.07 GB).
+#: Above 4096 the tables crowd HBM, the remote-compile path rejects
+#: the constant payload outright (measured: HTTP 413 at 8192), and the
+#: O(n²) MACs have already lost to the four-step (measured crossover:
+#: dense loses at 4096 at both precisions — bench/tpu_sweep.py
+#: --suite fftsize); explicit engine="dense" raises above the cap.
+DENSE_TABLE_MAX_N = 4096
+
+
+def _check_dense_n(n: int):
+    if n > DENSE_TABLE_MAX_N:
+        raise ValueError(
+            f"dense rDFT tables at n={n} would cost "
+            f"{4 * n * n / 1e9:.2f} GB (4·n² bytes) and the O(n²) "
+            f"formulation loses above the measured crossover — use "
+            f"engine='real' or 'pack' (auto does)")
+
+
 @functools.lru_cache(maxsize=32)
 def _rdft_dense_tables(n: int) -> Tuple[np.ndarray, np.ndarray]:
     """(n, n/2) cos/−sin tables for bins 1..n/2 (DC comes from a row
     sum, so N is exactly n/2 — no 1025→1152 MXU lane padding)."""
+    _check_dense_n(n)
     j = np.arange(n)[:, None]
     k = np.arange(1, n // 2 + 1)[None, :]
     ang = -2.0 * np.pi * j * k / n
@@ -389,22 +412,42 @@ def _rfft_matmul_jit(x, n, prec="highest", engine="real"):
     return outr.reshape(out_shape), outi.reshape(out_shape)
 
 
+#: size ceiling for the dense rDFT under engine="auto", per precision —
+#: measured crossovers on v5e (bench/tpu_sweep.py --suite fftsize, r5,
+#: compute-dominated walls, spreads ≤ 3%):
+#:   high:    dense wins ≤ 2048 (n=2048: 14 386 vs real 9 958); at
+#:            4096 pack wins (9 270 vs dense 6 749); at 8192 real wins
+#:            (9 295) and dense cannot even compile (268 MB tables).
+#:   highest: dense wins ≤ 1024 (n=1024: 14 098 vs real 9 511); at
+#:            2048 real wins (9 263 vs dense 7 521).
+#: The O(n²) MAC growth eventually loses to the four-step's O(n·(√n))
+#: while the four-step's tiles IMPROVE with n (64×64 at 4096 vs 64×32
+#: at 2048) — both trends measured monotone across the sweep.
+_DENSE_AUTO_MAX = {"high": 2048, "default": 2048, "highest": 1024}
+
+
+def _auto_rfft_engine(n: int, prec: str) -> str:
+    if n <= _DENSE_AUTO_MAX.get(prec, 1024):
+        return "dense"
+    if n == 4096:
+        return "pack"   # measured winner at BOTH precisions at 4096
+    return "real"       # 8192+: four-step tiles keep improving with n
+
+
 def rfft_matmul(x: jnp.ndarray, n: Optional[int] = None, *,
                 engine: str = "auto") -> jnp.ndarray:
-    """rfft via MXU matmuls.  ``engine="auto"`` resolves by precision —
-    measured net Msps on v5e (2048-pt, 64ch batch, dispatch-subtracted,
-    NONLINEAR abs-sum probe — r4): at "high" the dense rDFT wins
-    (13876 @ 98.9 dB vs real 9586 @ 94.9, pack 9034 @ 95.3); at
-    "highest" the real four-step wins (8963 @ 139.4 vs pack 8538 @
-    137.9, dense 7358 — the 12× MAC cost bites once each pass costs
-    double).  XLA's TPU FFT: 7403 @ 131.2."""
+    """rfft via MXU matmuls.  ``engine="auto"`` resolves by precision
+    AND size from the r5 measured sweep (see ``_DENSE_AUTO_MAX``; the
+    r4 rule — dense at high for ANY size — was measured only at 2048
+    and is wrong at 4096+ where the O(n²) dense MACs lose).  Sweep
+    source: bench/tpu_sweep.py --suite fftsize."""
     if n is None:
         n = x.shape[-1]
     if x.shape[-1] != n:
         x = _pad_or_trim(x, n)
     prec = matmul_precision_name()
     if engine == "auto":
-        engine = "dense" if prec in ("high", "default") else "real"
+        engine = _auto_rfft_engine(n, prec)
     outr, outi = _rfft_matmul_jit(x, n, prec, engine)
     return _jit_pack(outr, outi)
 

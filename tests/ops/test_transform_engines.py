@@ -66,6 +66,43 @@ class TestRfftEngines:
             assert _snr_c(ref, y) >= 120.0, scope
 
 
+class TestSizeAwareAuto:
+    """VERDICT r4 #7: the auto engine must follow the MEASURED
+    size×precision ranking (bench/tpu_sweep.py --suite fftsize, r5),
+    not a single-size extrapolation, and the O(n²) dense tables must be
+    capped."""
+
+    @pytest.mark.parametrize("n,prec,expect", [
+        (256, "high", "dense"), (2048, "high", "dense"),
+        (4096, "high", "pack"), (8192, "high", "real"),
+        (16384, "high", "real"),
+        (1024, "highest", "dense"), (2048, "highest", "real"),
+        (4096, "highest", "pack"), (8192, "highest", "real"),
+        (2048, "default", "dense"),
+    ])
+    def test_auto_table(self, n, prec, expect):
+        assert tr._auto_rfft_engine(n, prec) == expect
+
+    def test_dense_table_cap_raises(self):
+        with pytest.raises(ValueError, match="dense"):
+            tr._rdft_dense_tables(8192)
+        x = jnp.zeros((2, 8192), jnp.float32)
+        with pytest.raises(ValueError, match="dense"):
+            tr.rfft_matmul(x, 8192, engine="dense")
+
+    @pytest.mark.parametrize("n", [4096, 8192])
+    def test_auto_correct_at_large_sizes(self, n, rng):
+        """auto at sizes where it now picks pack/real must stay
+        correct on every platform."""
+        x = rng.standard_normal((3, n)).astype(np.float32)
+        ref = np.fft.rfft(x.astype(np.float64), axis=-1)
+        for scope in ("high", "highest"):
+            with tr.precision_scope(scope):
+                y = np.asarray(tr.rfft_matmul(jnp.asarray(x), n),
+                               np.complex128)
+            assert _snr_c(ref, y) >= 120.0, (n, scope)
+
+
 class TestIrfftEngines:
     @pytest.mark.parametrize("n", [16, 256, 2048, 4096])
     @pytest.mark.parametrize("eng", ["real", "dense", "pack"])
