@@ -595,6 +595,33 @@ def main():
                    snr=round(snr_db(ref, yh), 1),
                    **timeit_stable(xfn, xf, reps=3))
 
+    # ---- ifftsize: irfft engine ranking across sizes (r5 gap #4) --------
+    if want("ifftsize"):
+        from llzlab_tpu.ops import transform as tr
+
+        for nfft in (int(s) for s in args.fft_sizes.split(",")):
+            nfr = T // nfft
+            xf = x[:, : nfr * nfft].reshape(C, nfr, nfft)
+            spec_dev = tr._jit_pack(*tr._rfft_matmul_jit(
+                xf, nfft, "highest", "real"))
+            refi = np.fft.irfft(
+                np.fft.rfft(np.asarray(xf[:2], np.float64), axis=-1),
+                nfft, axis=-1)
+            for prc in ("high", "highest"):
+                for eng in ("dense", "real", "pack"):
+                    def ifn(v, _e=eng, _p=prc, _n=nfft):
+                        sr, si = tr._jit_split(v)
+                        return tr._irfft_matmul_jit(sr, si, _n, _p, _e)
+                    try:
+                        y = np.asarray(ifn(spec_dev[:2]), np.float64)
+                        report(op="ifft", nfft=nfft, engine=eng,
+                               precision=prc,
+                               snr=round(snr_db(refi, y), 1),
+                               **timeit_stable(ifn, spec_dev, reps=3))
+                    except Exception as e:
+                        report(op="ifft", nfft=nfft, engine=eng,
+                               precision=prc, error=str(e)[:160])
+
     log("done")
 
 

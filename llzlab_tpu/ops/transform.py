@@ -525,11 +525,13 @@ def _irfft_real_core(sr: jnp.ndarray, si: jnp.ndarray, n: int, prec: str):
 @functools.lru_cache(maxsize=32)
 def _irdft_dense_tables(n: int) -> Tuple[np.ndarray, np.ndarray]:
     """(n/2, n) inverse-rDFT tables over bins 1..n/2 (K exactly n/2).
+    Capped at DENSE_TABLE_MAX_N like the forward tables.
 
     Row k<n/2: 2·cos(2πjk/n)/n and −2·sin(2πjk/n)/n (the conjugate pair
     folded in); row n/2 (Nyquist): (−1)^j/n with zero imaginary weight
     (irfft ignores Im at Nyquist by convention).  DC is a VPU add.
     """
+    _check_dense_n(n)
     j = np.arange(n)[None, :]
     k = np.arange(1, n // 2 + 1)[:, None]
     ang = 2.0 * np.pi * j * k / n
