@@ -596,24 +596,38 @@ def _irfft_matmul_jit(specr, speci, n, prec="highest", engine="pack"):
     return out.reshape(shape[:-1] + (n,))
 
 
+def _auto_irfft_engine(n: int, prec: str) -> str:
+    """Measured inverse ranking (v5e, r5 stable sweep — bench/
+    fftsize_v5e_r5.jsonl `ifft` rows): dense wins ≤ 1024 at BOTH
+    precisions (70.6 Gsps at 256/high; at 1024/highest dense ties pack
+    within 0.1% and carries +2 dB SNR), the packed-half four-step wins
+    at 2048 and 8192+, and the real-output four-step wins at 4096
+    (16 439 @ high / 14 300 @ highest)."""
+    if n <= 1024:
+        return "dense"
+    if n == 4096:
+        return "real"
+    return "pack"
+
+
 def irfft_matmul(spec: jnp.ndarray, n: Optional[int] = None, *,
                  engine: str = "auto") -> jnp.ndarray:
     """Inverse rfft via MXU matmuls.
 
-    ``engine="auto"`` resolves to the packed-half four-step at EVERY
-    precision — unlike the forward direction, the pack form wins the
-    inverse: its expensive step (the forward's stride-2 input
-    de-interleave) becomes a cheap stack+reshape interleave on output.
-    Measured net Msps, v5e 2048-pt (r4, nonlinear abs-sum probe):
-    high  — pack 15117 @ 95.3 dB, dense 13020 @ 98.8, real 12291 @ 96.2;
-    highest — pack 14159 @ 135.2, real 11667 @ 136.6, dense 7172.
+    ``engine="auto"`` resolves by SIZE from the r5 measured sweep
+    (:func:`_auto_irfft_engine`): dense ≤ 1024, real at 4096,
+    packed-half elsewhere.  The r4 rule (pack everywhere) was measured
+    only at 2048 — pack does win there (its expensive forward step, the
+    stride-2 de-interleave, becomes a cheap output interleave), but the
+    dense form is 2.9-4.5× faster at small sizes and the real-output
+    four-step overtakes at 4096.
     ``engine=`` accepts pack/dense/real explicitly (e.g. "dense" when a
     chain's budget needs the extra ~3.5 dB at high precision)."""
     if n is None:
         n = 2 * (spec.shape[-1] - 1)
     prec = matmul_precision_name()
     if engine == "auto":
-        engine = "pack"
+        engine = _auto_irfft_engine(n, prec)
     sr, si = _jit_split(spec)
     return _irfft_matmul_jit(sr, si, n, prec, engine)
 

@@ -83,6 +83,27 @@ class TestSizeAwareAuto:
     def test_auto_table(self, n, prec, expect):
         assert tr._auto_rfft_engine(n, prec) == expect
 
+    @pytest.mark.parametrize("n,prec,expect", [
+        (256, "high", "dense"), (1024, "high", "dense"),
+        (2048, "high", "pack"), (4096, "high", "real"),
+        (8192, "high", "pack"), (16384, "high", "pack"),
+        (1024, "highest", "dense"), (2048, "highest", "pack"),
+        (4096, "highest", "real"),
+    ])
+    def test_inverse_auto_table(self, n, prec, expect):
+        assert tr._auto_irfft_engine(n, prec) == expect
+
+    @pytest.mark.parametrize("n", [512, 4096, 8192])
+    def test_inverse_auto_correct_across_sizes(self, n, rng):
+        x = rng.standard_normal((3, n))
+        spec = np.fft.rfft(x)
+        ref = np.fft.irfft(spec, n)
+        for scope in ("high", "highest"):
+            with tr.precision_scope(scope):
+                y = np.asarray(tr.irfft_matmul(
+                    jnp.asarray(spec.astype(np.complex64)), n), np.float64)
+            assert _snr_c(ref, y) >= 120.0, (n, scope)
+
     def test_dense_table_cap_raises(self):
         with pytest.raises(ValueError, match="dense"):
             tr._rdft_dense_tables(8192)
