@@ -117,3 +117,67 @@ class TestResampleTPU:
         b = lz.resample_poly(x[:, t // 2 :], 147, 160, taps=rtaps, zi=zf)
         stitched = np.concatenate([np.asarray(a), np.asarray(b)], -1)
         np.testing.assert_array_equal(stitched, full)
+
+
+class TestR5EnginesTPU:
+    def test_pair_rdft_matches_numpy(self, x64ch):
+        """rfft_pair (the r5 channelizer frames engine) on the real
+        chip at precision=high — Mosaic-free but precision-tier
+        dependent."""
+        from llzlab_tpu.ops.transform import precision_scope, rfft_pair
+
+        n = 2048
+        xf = jnp.asarray(x64ch[:, :n])
+        with precision_scope("high"):
+            out = np.asarray(rfft_pair(xf, n))
+        h1 = n // 2 + 1
+        got = out[..., :h1].astype(np.float64) + 1j * out[..., h1:]
+        ref = np.fft.rfft(x64ch[:, :n].astype(np.float64), n, axis=-1)
+        assert _snr(ref, got) > 90.0
+
+    def test_cwola_stage_matches_f64_wola(self, x64ch):
+        """SpectralGainStage auto on TPU resolves to cwola for a static
+        gain; its streamed interior must match an f64 WOLA golden."""
+        from llzlab_tpu.pipeline.chain import SpectralGainStage
+
+        gain = np.linspace(1.0, 0.5, 1025).astype(np.float32)
+        stage = SpectralGainStage(gain)
+        assert stage.engine == "cwola"
+        x = x64ch[:4, : 4 * 4096]
+        st = stage.init_state((4,))
+        ys = []
+        for j in range(4):
+            y, st = stage.apply(
+                jnp.asarray(x[:, j * 4096 : (j + 1) * 4096]), st)
+            ys.append(np.asarray(y))
+        ys.append(np.asarray(stage.flush(st)))
+        ys = np.concatenate(ys, axis=-1)
+        # f64 one-shot WOLA golden (same framing; interior window)
+        w = ss.get_window("hann", 2048).astype(np.float64)
+        tt = x.shape[-1]
+        nf = 1 + (tt - 2048) // 512
+        idx = np.arange(2048) + 512 * np.arange(nf)[:, None]
+        fr = x.astype(np.float64)[:, idx] * w
+        spec = np.fft.rfft(fr, axis=-1) * gain
+        syn = np.fft.irfft(spec, 2048, axis=-1) * w
+        out_len = 2048 + (nf - 1) * 512
+        ref = np.zeros((4, out_len))
+        env = np.zeros(out_len)
+        for i in range(nf):
+            ref[:, i * 512 : i * 512 + 2048] += syn[:, i]
+            env[i * 512 : i * 512 + 2048] += w * w
+        ref = ref / np.maximum(env, 1e-8)
+        cut = ys[:, stage.latency :]
+        lo, hi = 2048 + 1536, out_len - 2 * 2048
+        assert _snr(ref[:, lo:hi], cut[:, lo:hi]) > 110.0
+
+    def test_size_aware_fft_auto_large(self, x64ch):
+        """auto at 4096 (pack fwd / real inv) stays >= 90 dB on chip."""
+        from llzlab_tpu.ops.transform import precision_scope
+
+        n = 4096
+        xf = jnp.asarray(x64ch[:, :n])
+        with precision_scope("high"):
+            s = lz.rfft(xf, n)
+            y = np.asarray(lz.irfft(s, n))
+        assert _snr(x64ch[:, :n], y) > 90.0
