@@ -13,6 +13,8 @@ from llzlab_tpu.ops.transform import (  # noqa: F401
     fft_matmul,
     rfft_matmul,
     irfft_matmul,
+    rfft_pair,
+    pair_to_complex,
 )
 from llzlab_tpu.ops.spectral import stft, istft, frame, overlap_add  # noqa: F401
 from llzlab_tpu.ops.fir import (  # noqa: F401
