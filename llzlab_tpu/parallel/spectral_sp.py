@@ -53,10 +53,19 @@ def spectral_gain_sharded(
     hop: Optional[int] = None,
     window: str = "hann",
     method: str = "auto",
+    engine: str = "auto",
 ) -> jnp.ndarray:
     """Sharded STFT→gain→iSTFT on ``x (C, T)``; returns ``(C, T)``.
 
     Requires ``T/n_time`` to be a multiple of ``hop``.
+
+    ``engine``: "cwola" runs each shard's analysis→gain→synthesis as
+    the ONE composed frame matmul (`ops/spectral.composed_wola`, r5 —
+    static gains only; 2.0× fewer MACs, no per-shard spectrum);
+    "reference" keeps the framed rfft/irfft path; "auto" picks cwola on
+    TPU for static gains on power-of-two ``n_fft`` — mirroring
+    ``SpectralGainStage``'s resolution, so the sharded and streaming
+    paths run the same engine.
     """
     hop = hop or n_fft // 4
     overlap = n_fft - hop
@@ -66,20 +75,34 @@ def spectral_gain_sharded(
         raise ValueError(
             f"T_loc={x.shape[-1]}/{nt} must be a multiple of hop={hop}"
         )
+    if engine == "auto":
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        engine = ("cwola" if on_tpu and not callable(gain)
+                  and n_fft >= 16 and (n_fft & (n_fft - 1)) == 0
+                  and isinstance(window, str) else "reference")
+    if engine == "cwola" and callable(gain):
+        raise ValueError("engine='cwola' needs a static gain vector")
     w_np = get_window(window, n_fft, periodic=True).astype(np.float32)
     w = jnp.asarray(w_np)
     gain_arr = None if callable(gain) else jnp.asarray(gain, jnp.float32)
+    gain_f64 = (None if callable(gain)
+                else np.ascontiguousarray(gain, np.float64))
 
     def local(x_l):
         c_loc = x_l.shape[0]
         look = _from_right(x_l[..., :overlap], TIME_AXIS)
         ext = jnp.concatenate([x_l, look], axis=-1)  # (C, T_loc+overlap)
-        frames = _sp.frame(ext, n_fft, hop) * w  # (C, F_loc, n_fft)
-        spec = _tf.rfft(frames, n_fft, method=method)
-        spec = spec * (gain(spec) if callable(gain) else gain_arr)
-        synth = _tf.irfft(spec, n_fft, method=method) * w
-        ola = _sp.overlap_add(synth, hop)  # (C, T_loc+overlap)
-        nf = frames.shape[-2]
+        nf = t_loc // hop
+        if engine == "cwola":
+            ola = _sp.composed_wola(
+                ext, jnp.ones((nf,), jnp.float32), n_fft, hop, window,
+                gain_f64)  # (C, T_loc+overlap)
+        else:
+            frames = _sp.frame(ext, n_fft, hop) * w  # (C, F_loc, n_fft)
+            spec = _tf.rfft(frames, n_fft, method=method)
+            spec = spec * (gain(spec) if callable(gain) else gain_arr)
+            synth = _tf.irfft(spec, n_fft, method=method) * w
+            ola = _sp.overlap_add(synth, hop)  # (C, T_loc+overlap)
         env = _sp.overlap_add(
             jnp.broadcast_to(w * w, (nf, n_fft)), hop
         )  # (T_loc+overlap,)

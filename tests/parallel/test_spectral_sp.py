@@ -53,3 +53,22 @@ class TestSpectralGainSharded:
         y = np.asarray(spectral_gain_sharded(jnp.asarray(x), gain, mesh24))
         mid = y[:, 4096:-4096]
         assert np.sqrt(np.mean(mid**2)) < 1e-3
+
+    def test_cwola_engine_matches_reference_engine(self, mesh24, snr):
+        """r5: the sharded path's composed-WOLA engine (forced on CPU —
+        auto resolves to it only on TPU) must match the framed
+        reference engine everywhere, including shard boundaries."""
+        rng = np.random.default_rng(113)
+        x = rng.standard_normal((8, 4 * 4096)).astype(np.float32)
+        gain = np.linspace(1.0, 0.25, 1025).astype(np.float32)
+        y_ref = np.asarray(spectral_gain_sharded(
+            jnp.asarray(x), gain, mesh24, engine="reference"))
+        y_cw = np.asarray(spectral_gain_sharded(
+            jnp.asarray(x), gain, mesh24, engine="cwola"))
+        assert snr(y_ref, y_cw) >= 90.0
+
+    def test_cwola_engine_rejects_callable(self, mesh24):
+        with pytest.raises(ValueError, match="cwola"):
+            spectral_gain_sharded(
+                jnp.zeros((4, 4 * 4096), jnp.float32),
+                lambda s: 1.0, mesh24, engine="cwola")
