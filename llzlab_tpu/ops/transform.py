@@ -199,15 +199,53 @@ def _fft_matmul_core(xr: jnp.ndarray, xi: jnp.ndarray, n: int,
     return outr, outi
 
 
-@functools.partial(jax.jit, static_argnames=("n", "prec"))
-def _fft_matmul_jit(xr, xi, n, prec="highest"):
+@functools.lru_cache(maxsize=32)
+def _cdft_dense_tables(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(n, n) cos/−sin full DFT tables for the dense COMPLEX engine
+    (8·n² bytes — capped like the real dense tables)."""
+    if n > CDENSE_TABLE_MAX_N:
+        raise ValueError(
+            f"dense complex DFT tables at n={n} would cost "
+            f"{8 * n * n / 1e9:.2f} GB (8·n² bytes); use the four-step "
+            f"engine (auto does)")
+    j = np.arange(n)
+    ang = -2.0 * np.pi * np.outer(j, j) / n
+    return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
+
+
+#: complex dense table cap (8·n² bytes: 2048 → 33.6 MB, 4096 → 134 MB)
+CDENSE_TABLE_MAX_N = 2048
+
+
+def _cfft_dense_core(xr: jnp.ndarray, xi: jnp.ndarray, n: int, prec: str):
+    """Dense complex DFT: (xr + j·xi) @ (C + j·S) via the Gauss 3-dot
+    complex matmul — one K=n, N=n contraction, zero intermediates, zero
+    transposes (the complex analog of ``_rfft_dense_core``)."""
+    Cr, Ci = (jnp.asarray(t) for t in _cdft_dense_tables(n))
+    return _cmatmul(xr, xi, Cr, Ci, "zj,jk->zk", prec)
+
+
+#: complex-fft auto: dense below these sizes (measured r5 — see
+#: bench/fftsize_v5e_r5.jsonl `cfft` rows), four-step above.
+_CDENSE_AUTO_MAX = {"high": 1024, "default": 1024, "highest": 512}
+
+
+def _auto_cfft_engine(n: int, prec: str) -> str:
+    return ("cdense" if n <= _CDENSE_AUTO_MAX.get(prec, 512)
+            else "fourstep")
+
+
+@functools.partial(jax.jit, static_argnames=("n", "prec", "engine"))
+def _fft_matmul_jit(xr, xi, n, prec="highest", engine="auto"):
     shape = xr.shape
-    outr, outi = _fft_matmul_core(
-        xr.reshape(-1, n).astype(jnp.float32),
-        xi.reshape(-1, n).astype(jnp.float32),
-        n,
-        prec,
-    )
+    xrb = xr.reshape(-1, n).astype(jnp.float32)
+    xib = xi.reshape(-1, n).astype(jnp.float32)
+    if engine == "auto":
+        engine = _auto_cfft_engine(n, prec)
+    if engine == "cdense":
+        outr, outi = _cfft_dense_core(xrb, xib, n, prec)
+    else:
+        outr, outi = _fft_matmul_core(xrb, xib, n, prec)
     return outr.reshape(shape), outi.reshape(shape)
 
 

@@ -41,6 +41,7 @@ def _load(op):
 @pytest.mark.parametrize("op,auto", [
     ("fft", tr._auto_rfft_engine),
     ("ifft", tr._auto_irfft_engine),
+    ("cfft", tr._auto_cfft_engine),
 ])
 def test_auto_picks_measured_winner(op, auto):
     cells = _load(op)
