@@ -423,6 +423,11 @@ def _rfft_matmul_jit(x, n, prec="highest", engine="real"):
         return outr.reshape(out_shape), outi.reshape(out_shape)
     zr = xb[:, 0::2]
     zi = xb[:, 1::2]
+    # NOTE: the inner half-size transform deliberately stays four-step
+    # at every size — routing it through _cfft_core_auto was measured
+    # SLOWER at 2048/high (12.1 vs 15.6 Gsps: the dense (1024, 1024)
+    # complex tables pipeline worse with the surrounding untangle than
+    # the four-step's small stages; docs/ROOFLINE.md no-pay #10).
     Zr, Zi = _fft_matmul_core(zr, zi, half, prec)
     # Z[(-k) mod half]: bin 0 fixed, bins 1..half-1 reversed — expressed as
     # slice+reverse+concat (a constant permutation gather is catastrophically
@@ -627,7 +632,7 @@ def _irfft_matmul_jit(specr, speci, n, prec="highest", engine="pack"):
     Zr = Er - Oi_
     Zi = Ei + Or_
     # inverse complex FFT of size half: ifft(z) = conj(fft(conj(z)))/half
-    fr, fi = _fft_matmul_core(Zr, -Zi, half, prec)
+    fr, fi = _fft_matmul_core(Zr, -Zi, half, prec)  # see forward note
     zr = fr / half
     zi = -fi / half
     out = jnp.stack([zr, zi], axis=-1).reshape(-1, n)
