@@ -131,4 +131,44 @@ void golden_rfft(const float* x, int64_t n, const double* window, double* out_re
     }
 }
 
+// ---------------------------------------------------------------------------
+// Serial WOLA spectral-gain chain (SURVEY.md §3.4, BASELINE.json:10):
+// per frame — window, FFT, per-bin REAL gain (conjugate-symmetric),
+// inverse FFT, window, overlap-add; window-square envelope divides the
+// accumulated output.  The reference frontend's frame loop, in double.
+// Frames start at 0 (causal); nf = 1 + (t - n_fft)/hop full frames;
+// y has out_len = n_fft + (nf-1)*hop samples.
+// ---------------------------------------------------------------------------
+void golden_wola_gain(const float* x, int64_t t, int64_t n_fft, int64_t hop,
+                      const double* window, const double* gain, double* y,
+                      int64_t out_len) {
+    const int64_t nf = t < n_fft ? 0 : 1 + (t - n_fft) / hop;
+    std::vector<double> env((size_t)out_len, 0.0);
+    std::vector<double> re((size_t)n_fft), im((size_t)n_fft);
+    for (int64_t i = 0; i < out_len; ++i) y[i] = 0.0;
+    for (int64_t f = 0; f < nf; ++f) {
+        const int64_t s0 = f * hop;
+        for (int64_t i = 0; i < n_fft; ++i) {
+            re[(size_t)i] = (double)x[s0 + i] * window[i];
+            im[(size_t)i] = 0.0;
+        }
+        golden_fft(re.data(), im.data(), n_fft, 0);
+        for (int64_t k = 0; k < n_fft; ++k) {
+            const int64_t kk = k <= n_fft / 2 ? k : n_fft - k;
+            re[(size_t)k] *= gain[kk];
+            im[(size_t)k] *= gain[kk];
+        }
+        golden_fft(re.data(), im.data(), n_fft, 1);
+        for (int64_t i = 0; i < n_fft; ++i) {
+            const double v = re[(size_t)i] / (double)n_fft;  // unscaled inv
+            if (s0 + i < out_len) {
+                y[s0 + i] += v * window[i];
+                env[(size_t)(s0 + i)] += window[i] * window[i];
+            }
+        }
+    }
+    for (int64_t i = 0; i < out_len; ++i)
+        y[i] /= env[(size_t)i] > 1e-8 ? env[(size_t)i] : 1e-8;
+}
+
 }  // extern "C"

@@ -28,6 +28,7 @@ __all__ = [
     "sosfilt",
     "upfirdn",
     "rfft",
+    "wola_gain",
 ]
 
 
@@ -57,6 +58,8 @@ def ensure_built() -> bool:
     lib.golden_sosfilt.argtypes = [c_d, i64, c_f, i64, c_d]
     lib.golden_upfirdn.argtypes = [c_d, i64, c_f, i64, i64, i64, c_d, i64]
     lib.golden_rfft.argtypes = [c_f, i64, c_d, c_d, c_d]
+    lib.golden_wola_gain.argtypes = [c_f, i64, i64, i64, c_d, c_d, c_d,
+                                     i64]
     _lib = lib
     return True
 
@@ -123,3 +126,20 @@ def rfft(x: np.ndarray, window: Optional[np.ndarray] = None) -> np.ndarray:
         _fp(x), n, _dp(w) if w is not None else None, _dp(out_re), _dp(out_im)
     )
     return out_re + 1j * out_im
+
+
+def wola_gain(x: np.ndarray, gain: np.ndarray, window: np.ndarray,
+              n_fft: int = 2048, hop: int = 512) -> np.ndarray:
+    """Serial WOLA STFT→gain→iSTFT (the config-4 chain, SURVEY §3.4) in
+    double — the C++ independent golden for the cwola/wdft engines.
+    1-D ``x``; returns ``n_fft + (nf-1)·hop`` samples."""
+    ensure_built()
+    x = np.ascontiguousarray(x, np.float32)
+    g = np.ascontiguousarray(gain, np.float64)
+    w = np.ascontiguousarray(window, np.float64)
+    nf = 0 if x.size < n_fft else 1 + (x.size - n_fft) // hop
+    out_len = n_fft + (nf - 1) * hop
+    y = np.empty(out_len, np.float64)
+    _lib.golden_wola_gain(_fp(x), x.size, n_fft, hop, _dp(w), _dp(g),
+                          _dp(y), out_len)
+    return y

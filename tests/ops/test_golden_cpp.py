@@ -82,3 +82,66 @@ class TestOpsVsGolden:
         ref = golden.upfirdn(h, x, 147, 160)
         ours = np.asarray(lz.resample_poly(x, 147, 160, taps=h))
         assert snr(ref[: ours.size], ours) >= 80.0
+
+
+class TestGoldenWola:
+    def test_wola_gain_matches_numpy_f64(self):
+        """The C++ serial WOLA golden vs an independent numpy-f64 WOLA
+        formulation — both double, different code paths (radix-2
+        butterflies vs pocketfft; per-frame loop vs vectorised)."""
+        import scipy.signal as ss
+
+        from llzlab_tpu import golden as g
+
+        assert g.available()
+        rng = np.random.default_rng(7)
+        n_fft, hop = 512, 128
+        t = 8 * 512
+        x = rng.standard_normal(t).astype(np.float32)
+        gain = np.linspace(1.0, 0.25, n_fft // 2 + 1)
+        w = ss.get_window("hann", n_fft, fftbins=True).astype(np.float64)
+        y = g.wola_gain(x, gain, w, n_fft=n_fft, hop=hop)
+        # numpy formulation (the bench's golden)
+        nf = 1 + (t - n_fft) // hop
+        idx = np.arange(n_fft) + hop * np.arange(nf)[:, None]
+        fr = x.astype(np.float64)[idx] * w
+        spec = np.fft.rfft(fr, axis=-1) * gain
+        syn = np.fft.irfft(spec, n_fft, axis=-1) * w
+        out_len = n_fft + (nf - 1) * hop
+        ref = np.zeros(out_len)
+        env = np.zeros(out_len)
+        for i in range(nf):
+            ref[i * hop : i * hop + n_fft] += syn[i]
+            env[i * hop : i * hop + n_fft] += w * w
+        ref = ref / np.maximum(env, 1e-8)
+        assert y.shape == ref.shape
+        snr = 10 * np.log10(np.sum(ref**2) / np.sum((ref - y) ** 2))
+        # ~243 dB: full double agreement (the golden's recurrence
+        # twiddles cost a few ulps vs pocketfft's tables)
+        assert snr >= 230.0
+
+    def test_cwola_engine_vs_cpp_golden(self):
+        """SpectralGainStage's composed-WOLA engine vs the C++ golden
+        (interior; the independent-golden closure for config 4)."""
+        import jax.numpy as jnp
+        import scipy.signal as ss
+
+        from llzlab_tpu import golden as g
+        from llzlab_tpu.pipeline.chain import SpectralGainStage
+
+        rng = np.random.default_rng(8)
+        t = 16384
+        x = rng.standard_normal((1, t)).astype(np.float32)
+        gain = np.linspace(1.0, 0.25, 1025).astype(np.float32)
+        stage = SpectralGainStage(gain, engine="cwola")
+        st = stage.init_state((1,))
+        y, st = stage.apply(jnp.asarray(x), st)
+        ys = np.concatenate([np.asarray(y), np.asarray(stage.flush(st))],
+                            axis=-1)[0, stage.latency:]
+        w = ss.get_window("hann", 2048, fftbins=True).astype(np.float64)
+        ref = g.wola_gain(x[0], gain.astype(np.float64), w)
+        n = min(ys.size, ref.size)
+        lo, hi = 2048 + 1536, n - 2 * 2048
+        snr = 10 * np.log10(np.sum(ref[lo:hi] ** 2)
+                            / np.sum((ref[lo:hi] - ys[lo:hi]) ** 2))
+        assert snr >= 90.0
