@@ -464,9 +464,15 @@ class Chain:
         return y
 
     def stream(self, blocks, batch_shape=None, dtype=jnp.float32):
-        """Generator: yield processed blocks, carrying state."""
+        """Generator: yield processed blocks, carrying state.
+
+        Every shipped stage is jittable (their apply bodies are traced
+        jax ops with static config), so the block loop runs under one
+        jit; a stage with genuinely untraceable apply logic should
+        override ``jittable = False`` on itself."""
         state = None
-        apply_fn = jax.jit(self.apply) if _stages_jittable(self.stages) else self.apply
+        jittable = all(getattr(s, "jittable", True) for s in self.stages)
+        apply_fn = jax.jit(self.apply) if jittable else self.apply
         for blk in blocks:
             if state is None:
                 bs = batch_shape if batch_shape is not None else blk.shape[:-1]
@@ -485,5 +491,4 @@ def _lcm(a, b):
     return a * b // _gcd(a, b)
 
 
-def _stages_jittable(stages) -> bool:
-    return True
+

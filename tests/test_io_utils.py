@@ -92,6 +92,40 @@ class TestCheckpoint:
         )
         np.testing.assert_array_equal(y_cat, y_full)
 
+    def test_resume_spectral_stage_bit_identical(self, tmp_path):
+        """r5: the SpectralGainStage WOLA state dict (x_hist/ola/env/
+        pos) checkpoints and resumes bit-identically — engine cwola
+        forced so the composed path's state layout is the one saved."""
+        from llzlab_tpu.pipeline import Chain, SpectralGainStage
+
+        gain = np.linspace(1.0, 0.25, 1025).astype(np.float32)
+        chain = Chain([SpectralGainStage(gain, engine="cwola")])
+        rng = np.random.default_rng(95)
+        x = rng.standard_normal((2, 4 * 4096)).astype(np.float32)
+
+        state = chain.init_state((2,))
+        ys_full = []
+        for j in range(4):
+            y, state = chain.apply(x[:, j * 4096 : (j + 1) * 4096], state)
+            ys_full.append(np.asarray(y))
+        y_full = np.concatenate(ys_full, axis=-1)
+
+        state = chain.init_state((2,))
+        p = str(tmp_path / "spec.npz")
+        outs = []
+        for j in range(2):
+            y, state = chain.apply(x[:, j * 4096 : (j + 1) * 4096], state)
+            outs.append(np.asarray(y))
+        save_state(p, state, block_index=2)
+        state2, bi, _ = load_state(p, like=chain.init_state((2,)))
+        assert bi == 2
+        for j in range(2, 4):
+            y, state2 = chain.apply(x[:, j * 4096 : (j + 1) * 4096],
+                                    state2)
+            outs.append(np.asarray(y))
+        np.testing.assert_array_equal(
+            np.concatenate(outs, axis=-1), y_full)
+
 
 class TestConfig:
     def test_presets_cover_baseline(self):
