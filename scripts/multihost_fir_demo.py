@@ -142,6 +142,31 @@ def worker(args):
         if jax.process_index() == 0:
             save_state(ck, (state,), block_index=bi + 1)
 
+    # ---- r5: spectral-gain chain over the SAME process-spanning mesh ----
+    # (config 4's sharded path: the analysis-lookahead and OLA-tail
+    # ppermutes ride the fake DCN between the two processes.)  Every
+    # process executes the collective program; proc 0 checks vs the
+    # unsharded one-shot chain.
+    from llzlab_tpu.parallel.spectral_sp import spectral_gain_sharded
+
+    gain = np.linspace(1.0, 0.25, 1025).astype(np.float32)
+    xs_g = jax.make_array_from_callback(
+        (c, blk), sharding, lambda idx: x_all[:, :blk][idx])
+    y_sp = spectral_gain_sharded(xs_g, gain, mesh)
+    y_sp_full = np.asarray(jax.device_get(
+        jax.jit(lambda v: v, out_shardings=NamedSharding(
+            mesh, P(None, None)))(y_sp)))
+    if jax.process_index() == 0:
+        spec = lz.stft(x_all[:, :blk], n_fft=2048, hop=512)
+        y_ref = np.asarray(lz.istft(spec * gain, n_fft=2048, hop=512,
+                                    length=blk))
+        cut = blk - 2048  # final frames see the last shard's zero pad
+        err = y_ref[:, :cut] - y_sp_full[:, :cut]
+        snr_sp = 10 * np.log10(
+            np.sum(y_ref[:, :cut] ** 2) / max(np.sum(err ** 2), 1e-300))
+        print(f"spectral sharded == unsharded: {snr_sp >= 80.0} "
+              f"({snr_sp:.1f} dB)", file=sys.stderr)
+
     if jax.process_index() == 0:
         # Stitch with any blocks completed before resume (recompute them
         # from the checkpointed prefix = rerun blocks < start determin.)

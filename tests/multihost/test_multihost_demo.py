@@ -35,6 +35,10 @@ class TestMultihostDemo:
         r = _run(tmp_path / "clean")
         assert r.returncode == 0, r.stderr[-2000:]
         assert "multihost == streaming-golden: True" in r.stdout + r.stderr
+        # r5: the config-4 spectral chain's lookahead/OLA ppermutes
+        # crossed the fake DCN and matched the unsharded chain
+        assert "spectral sharded == unsharded: True" in (
+            r.stdout + r.stderr)
 
     def test_fault_injection_restart(self, tmp_path):
         r = _run(tmp_path / "fault", "--inject-fault", "1")
